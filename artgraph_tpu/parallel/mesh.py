@@ -1,0 +1,90 @@
+"""Device mesh construction and sharding rules.
+
+This subsystem is NEW CAPABILITY — the reference is strictly single-device
+(every script hardcodes 'cuda'; no torch.distributed anywhere, SURVEY.md §2.2)
+— and is the throughput vehicle for the v5e-8 target:
+
+  * data parallelism: batches sharded over the 'data' mesh axis, params
+    replicated; gradient all-reduce is emitted automatically by XLA when the
+    train step is jitted with these shardings (collectives ride ICI);
+  * optional 'model' axis: classifier/MLP weight matrices can be sharded on
+    their output dimension (simple tensor parallelism) — not needed for
+    capability parity (models are ResNet50/ViT-B) but exercised by the
+    multi-chip dry-run;
+  * multi-host: jax.distributed.initialize + per-process data feeding via
+    jax.make_array_from_process_local_data.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def distributed_init(coordinator: Optional[str] = None) -> None:
+    """Initialize multi-host JAX if running under a multi-process launcher.
+
+    Safe no-op on a single host.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized by the launcher
+    if coordinator:
+        jax.distributed.initialize(coordinator_address=coordinator)
+
+
+def create_mesh(data: Optional[int] = None, model: int = 1,
+                devices: Optional[Sequence] = None) -> Mesh:
+    """Build a ('data', 'model') mesh over the available devices.
+
+    Defaults to all devices on the data axis (pure DP) — the idiomatic layout
+    for ResNet50/ViT-B at 224px where parameters fit per chip with room to
+    spare. Device order follows jax.devices(), which JAX arranges so that
+    adjacent mesh coordinates are ICI neighbors.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if data is None:
+        data = len(devices) // model
+    if data * model != len(devices):
+        raise ValueError(
+            f"mesh {data}x{model} != {len(devices)} devices")
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dimension over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    """Fully replicated across the mesh (parameters, scalars)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_params(params, mesh: Mesh, rules=None):
+    """Place a parameter pytree on the mesh.
+
+    Default: replicate everything (pure DP). `rules` is an optional callable
+    (path_tuple, leaf) -> PartitionSpec for tensor-parallel experiments, e.g.
+    sharding ViT MLP kernels over the 'model' axis.
+    """
+    if rules is None:
+        sharding = replicated(mesh)
+        return jax.device_put(params, sharding)
+
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    leaves, treedef = flat
+    placed = []
+    for path, leaf in leaves:
+        spec = rules(path, leaf) or P()
+        placed.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
+    return jax.tree_util.tree_unflatten(treedef, placed)
+
+
+def global_batch_array(local_batch: np.ndarray, mesh: Mesh):
+    """Assemble a globally-sharded array from per-process local data
+    (multi-host input path; ref has no analog — new capability)."""
+    return jax.make_array_from_process_local_data(
+        batch_sharding(mesh), local_batch)

@@ -1,0 +1,79 @@
+"""Loss functions with exact torch-criterion semantics, computed in f32.
+
+The reference's criteria and where they are used:
+  CrossEntropyLoss(+class weights)  — every classifier
+    (ref: train_baseline.py:38-42). Torch's weighted reduction divides by the
+    SUM OF SAMPLE WEIGHTS, not the batch size — reproduced here.
+  SmoothL1Loss — ContextNet encoder loss and the projector regression
+    (ref: train_baseline_context.py:48, train_projector.py:33). beta=1.
+  MSELoss — MultiModal encoder loss (ref: train_baseline_context.py:52).
+  nll_loss on log_softmax — GNN stage (ref: train_gnn_embeddings.py:29-30).
+
+Every loss takes an optional f32 `mask` over batch rows; padded rows of the
+static-shape final batch contribute zero and are excluded from the divisor.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from jax import nn as jnn
+
+
+def _masked(values: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+    """sum(values*weights)/sum(weights) in f32 (torch 'mean' reduction)."""
+    values = values.astype(jnp.float32)
+    weights = weights.astype(jnp.float32)
+    return jnp.sum(values * weights) / jnp.maximum(jnp.sum(weights), 1e-12)
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
+                  class_weights: Optional[jnp.ndarray] = None,
+                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """torch.nn.CrossEntropyLoss semantics.
+
+    logits: [B, C] (any float dtype; softmax in f32), labels: int [B].
+    """
+    logp = jnn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    per_sample = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    weights = jnp.ones_like(per_sample)
+    if class_weights is not None:
+        weights = class_weights.astype(jnp.float32)[labels]
+    if mask is not None:
+        weights = weights * mask.astype(jnp.float32)
+    return _masked(per_sample, weights)
+
+
+def nll_loss(log_probs: jnp.ndarray, labels: jnp.ndarray,
+             mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """torch F.nll_loss over precomputed log-probabilities [N, C]."""
+    per_sample = -jnp.take_along_axis(
+        log_probs.astype(jnp.float32), labels[:, None], axis=-1)[:, 0]
+    weights = jnp.ones_like(per_sample) if mask is None else mask
+    return _masked(per_sample, weights)
+
+
+def smooth_l1(pred: jnp.ndarray, target: jnp.ndarray,
+              mask: Optional[jnp.ndarray] = None,
+              beta: float = 1.0) -> jnp.ndarray:
+    """torch.nn.SmoothL1Loss (huber with beta=1, mean over all elements)."""
+    diff = jnp.abs(pred.astype(jnp.float32) - target.astype(jnp.float32))
+    per_elem = jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
+    if mask is None:
+        return jnp.mean(per_elem)
+    w = jnp.broadcast_to(
+        mask.astype(jnp.float32).reshape((-1,) + (1,) * (per_elem.ndim - 1)),
+        per_elem.shape)
+    return _masked(per_elem, w)
+
+
+def mse(pred: jnp.ndarray, target: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """torch.nn.MSELoss (mean over all elements)."""
+    per_elem = jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32))
+    if mask is None:
+        return jnp.mean(per_elem)
+    w = jnp.broadcast_to(
+        mask.astype(jnp.float32).reshape((-1,) + (1,) * (per_elem.ndim - 1)),
+        per_elem.shape)
+    return _masked(per_elem, w)

@@ -1,0 +1,74 @@
+"""Test config: force an 8-device virtual CPU platform BEFORE jax loads.
+
+This is the TPU-world analog of multi-node testing without a cluster
+(SURVEY.md §4): sharding/collective paths compile and run on 8 virtual CPU
+devices via XLA_FLAGS=--xla_force_host_platform_device_count.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+# The environment's sitecustomize force-registers the axon TPU backend and
+# overrides JAX_PLATFORMS; the config update below wins and pins tests to the
+# 8-device virtual CPU platform.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pandas as pd
+import pytest
+from PIL import Image
+
+
+@pytest.fixture(scope="session")
+def synthetic_dataset(tmp_path_factory):
+    """A miniature ArtGraph-shaped dataset tree: images + manifests.
+
+    Layout mirrors the reference raw files (ref: src/utils.py:30-49):
+      <root>/dataset/{train,validation,test}/mapping/artwork_entidx2name.csv
+      <root>/dataset/<split>/raw/node-label/artwork/node-label-{style,genre}.csv
+      <root>/images/*.jpg
+    """
+    root = tmp_path_factory.mktemp("artgraph")
+    image_dir = root / "images"
+    image_dir.mkdir()
+    rng = np.random.default_rng(0)
+
+    counts = {"train": 24, "validation": 8, "test": 8}
+    n_style, n_genre = 4, 3
+    for split, n in counts.items():
+        split_dir = root / "dataset" / split
+        (split_dir / "mapping").mkdir(parents=True)
+        (split_dir / "raw" / "node-label" / "artwork").mkdir(parents=True)
+        names, styles, genres = [], [], []
+        for i in range(n):
+            name = f"{split}_{i}.jpg"
+            arr = rng.integers(0, 255, size=(48, 64, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(image_dir / name)
+            names.append(name)
+            styles.append(int(rng.integers(0, n_style)))
+            genres.append(int(rng.integers(0, n_genre)))
+        pd.DataFrame({"idx": range(n), "image": names}).to_csv(
+            split_dir / "mapping" / "artwork_entidx2name.csv",
+            header=False, index=False)
+        pd.Series(styles).to_csv(
+            split_dir / "raw" / "node-label" / "artwork" / "node-label-style.csv",
+            header=False, index=False)
+        pd.Series(genres).to_csv(
+            split_dir / "raw" / "node-label" / "artwork" / "node-label-genre.csv",
+            header=False, index=False)
+
+    return {
+        "root": str(root),
+        "dataset_dir": str(root / "dataset"),
+        "image_dir": str(image_dir),
+        "counts": counts,
+        "num_style": n_style,
+        "num_genre": n_genre,
+    }

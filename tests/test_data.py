@@ -1,0 +1,135 @@
+"""Dataset/loader semantics: manifests, indexing modes, padding, class weights."""
+import numpy as np
+import pytest
+
+from artgraph_tpu.data import (
+    ArtGraphMultiTask,
+    ArtGraphSingleTask,
+    DataLoader,
+    LabelProjectionDataset,
+    MultiModalArtgraphSingleTask,
+    NewMultiModalArtgraphMultiTask,
+    get_class_weights,
+    load_dataset,
+    prepare_raw_dataset,
+)
+
+
+def test_manifest_columns(synthetic_dataset):
+    df = prepare_raw_dataset(synthetic_dataset["dataset_dir"], "train")
+    assert list(df.columns) == ["idx", "image", "style", "genre"]
+    assert len(df) == synthetic_dataset["counts"]["train"]
+
+
+def test_single_task_dataset_items(synthetic_dataset):
+    train, valid, test = load_dataset(
+        synthetic_dataset["dataset_dir"], synthetic_dataset["image_dir"],
+        mode="single_task", label="style")
+    img, label = train[0]
+    assert img.shape == (224, 224, 3) and img.dtype == np.uint8
+    assert isinstance(label, int)
+    assert len(valid) == synthetic_dataset["counts"]["validation"]
+
+
+def test_multi_task_dataset_items(synthetic_dataset):
+    df = prepare_raw_dataset(synthetic_dataset["dataset_dir"], "train")
+    ds = ArtGraphMultiTask(synthetic_dataset["image_dir"],
+                           df[["image", "style", "genre"]])
+    img, labels = ds[3]
+    assert labels == [int(df.iloc[3, 2]), int(df.iloc[3, 3])]
+
+
+def test_multimodal_embedding_indexing_modes(synthetic_dataset):
+    """The three embedding-indexing modes (ref: src/data/data_kg.py:100-106)."""
+    df = prepare_raw_dataset(synthetic_dataset["dataset_dir"], "train")
+    n = len(df)
+    emb_by_row = np.arange(n * 4, dtype=np.float32).reshape(n, 4)
+    emb_by_label = np.arange(synthetic_dataset["num_style"] * 4,
+                             dtype=np.float32).reshape(-1, 4) * 100
+
+    # train + artwork: row-indexed
+    ds = MultiModalArtgraphSingleTask(
+        synthetic_dataset["image_dir"], df[["image", "style"]], emb_by_row,
+        type="train", emb_type="artwork")
+    _, emb, _ = ds[5]
+    np.testing.assert_array_equal(emb, emb_by_row[5])
+
+    # train + style: label-indexed
+    ds = MultiModalArtgraphSingleTask(
+        synthetic_dataset["image_dir"], df[["image", "style"]], emb_by_label,
+        type="train", emb_type="style")
+    _, emb, label = ds[5]
+    np.testing.assert_array_equal(emb, emb_by_label[label])
+
+    # validation: row-indexed (projected) regardless of emb_type
+    ds = MultiModalArtgraphSingleTask(
+        synthetic_dataset["image_dir"], df[["image", "style"]], emb_by_row,
+        type="validation", emb_type="style")
+    _, emb, _ = ds[7]
+    np.testing.assert_array_equal(emb, emb_by_row[7])
+
+
+def test_new_multimodal_multitask_items(synthetic_dataset):
+    df = prepare_raw_dataset(synthetic_dataset["dataset_dir"], "train")
+    n = len(df)
+    e_style = np.random.default_rng(0).normal(size=(n, 4)).astype(np.float32)
+    e_genre = np.random.default_rng(1).normal(size=(n, 4)).astype(np.float32)
+    ds = NewMultiModalArtgraphMultiTask(
+        synthetic_dataset["image_dir"], df[["image", "style", "genre"]],
+        e_style, e_genre, type="train", emb_type="artwork")
+    img, es, eg, labels = ds[2]
+    np.testing.assert_array_equal(es, e_style[2])
+    np.testing.assert_array_equal(eg, e_genre[2])
+    assert len(labels) == 2
+
+
+def test_label_projection_dataset(synthetic_dataset):
+    df = prepare_raw_dataset(synthetic_dataset["dataset_dir"], "train")
+    n_style = synthetic_dataset["num_style"]
+    emb = np.arange(n_style * 3, dtype=np.float32).reshape(n_style, 3)
+    ds = LabelProjectionDataset(
+        synthetic_dataset["image_dir"], df[["image", "style", "genre"]],
+        emb, emb_type="style")
+    _, e = ds[4]
+    np.testing.assert_array_equal(e, emb[int(df.iloc[4, 2])])
+
+
+def test_loader_padding_and_mask(synthetic_dataset):
+    train, _, _ = load_dataset(
+        synthetic_dataset["dataset_dir"], synthetic_dataset["image_dir"],
+        mode="single_task", label="genre")
+    loader = DataLoader(train, batch_size=10, shuffle=False, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 3  # 24 items -> 10+10+4
+    images, labels, mask = batches[-1]
+    assert images.shape == (10, 224, 224, 3)
+    assert labels.shape == (10,)
+    np.testing.assert_array_equal(
+        mask, np.array([1, 1, 1, 1, 0, 0, 0, 0, 0, 0], np.float32))
+
+
+def test_loader_shuffle_is_deterministic(synthetic_dataset):
+    train, _, _ = load_dataset(
+        synthetic_dataset["dataset_dir"], synthetic_dataset["image_dir"],
+        mode="single_task", label="genre")
+    a = DataLoader(train, batch_size=8, shuffle=True, seed=1, num_workers=1)
+    b = DataLoader(train, batch_size=8, shuffle=True, seed=1, num_workers=1)
+    la = [batch[1] for batch in a]
+    lb = [batch[1] for batch in b]
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_class_weights_formula(synthetic_dataset):
+    """n/(count*num_classes), ordered by sorted label value
+    (ref: src/utils.py:268-274)."""
+    train, _, _ = load_dataset(
+        synthetic_dataset["dataset_dir"], synthetic_dataset["image_dir"],
+        mode="single_task", label="style")
+    num_classes = synthetic_dataset["num_style"]
+    weights = get_class_weights(train, num_classes, "style")
+
+    df = train.dataset
+    counts = df.groupby("style").count()["image"]
+    expected = (len(df) / (counts * num_classes)).values.astype(np.float32)
+    np.testing.assert_allclose(weights, expected, rtol=1e-6)
