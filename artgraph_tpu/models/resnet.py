@@ -1,0 +1,101 @@
+"""ResNet-50 in Flax, numerics-compatible with torchvision's resnet50.
+
+The reference fine-tunes torchvision's pretrained ResNet50 with the final fc
+stripped (ref: src/models/models.py:51-53). For 0.5%-accuracy parity the
+architecture must match torchvision exactly (v1.5 variant: the stride-2 sits
+on each bottleneck's 3x3 conv), including padding, BN epsilon/momentum, and
+the avgpool'd 2048-dim feature output.
+
+TPU-first choices: NHWC layout (MXU-native), bf16 compute with f32 params and
+f32 batch-norm statistics, no Python control flow inside the traced body.
+Weight import from torchvision state_dicts lives in
+artgraph_tpu.checkpointing.torch_interop.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+class Bottleneck(nn.Module):
+    """torchvision Bottleneck: 1x1 -> 3x3(stride) -> 1x1(x4) + skip."""
+
+    width: int
+    strides: int = 1
+    downsample: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
+                       param_dtype=jnp.float32)
+        # BN statistics and affine math in f32 (TPU-idiomatic mixed precision).
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=0.9, epsilon=1e-5, dtype=jnp.float32,
+                       param_dtype=jnp.float32)
+
+        identity = x
+        out = conv(self.width, (1, 1), name="conv1")(x)
+        out = norm(name="bn1")(out)
+        out = nn.relu(out).astype(self.dtype)
+
+        out = conv(self.width, (3, 3), strides=(self.strides, self.strides),
+                   padding=((1, 1), (1, 1)), name="conv2")(out)
+        out = norm(name="bn2")(out)
+        out = nn.relu(out).astype(self.dtype)
+
+        out = conv(self.width * 4, (1, 1), name="conv3")(out)
+        out = norm(name="bn3")(out)
+
+        if self.downsample:
+            identity = conv(self.width * 4, (1, 1),
+                            strides=(self.strides, self.strides),
+                            name="downsample_conv")(x)
+            identity = norm(name="downsample_bn")(identity)
+
+        return nn.relu(out.astype(jnp.float32)
+                       + identity.astype(jnp.float32)).astype(self.dtype)
+
+
+class ResNet50(nn.Module):
+    """Trunk producing the 2048-dim pooled feature (fc stripped, as the
+    reference consumes it). Input: NHWC float images."""
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                    name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32,
+                         param_dtype=jnp.float32, name="bn1")(x)
+        x = nn.relu(x).astype(self.dtype)
+        # torch MaxPool2d(3, stride=2, padding=1): pad with -inf, not zeros,
+        # so padded positions never win the max.
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    constant_values=-jnp.inf)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+
+        widths = (64, 128, 256, 512)
+        for stage, (blocks, width) in enumerate(zip(self.stage_sizes, widths)):
+            for block in range(blocks):
+                strides = 2 if (stage > 0 and block == 0) else 1
+                x = Bottleneck(
+                    width=width,
+                    strides=strides,
+                    downsample=(block == 0),
+                    dtype=self.dtype,
+                    name=f"layer{stage + 1}_{block}",
+                )(x, train=train)
+
+        # AdaptiveAvgPool2d(1) + flatten -> [B, 2048]
+        return jnp.mean(x.astype(jnp.float32), axis=(1, 2))

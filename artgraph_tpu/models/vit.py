@@ -1,0 +1,126 @@
+"""ViT-B/16 in Flax, numerics-compatible with timm's vit_base_patch16_224.
+
+The reference uses timm's pretrained ViT (ref: src/models/models.py:97,112;
+src/models/models_kg.py:200,222) under the ~2021 stack where
+`forward_features` returns the CLS token after the final LayerNorm (pooled
+768-dim vector) — SURVEY.md §3.5. This module reproduces that contract:
+`pool=True` (default) returns [B, 768]; `pool=False` returns the full token
+sequence for downstream experimentation.
+
+TPU-first choices: bf16 compute / f32 params, LayerNorm in f32, attention via
+a single fused qkv projection feeding jax.nn.dot_product_attention (XLA lowers
+this to a fused TPU attention kernel; seq len 197 needs no custom pallas for
+parity — see artgraph_tpu.ops.attention for the pallas variant).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+class Attention(nn.Module):
+    """timm-style MHA: fused qkv (bias), scaled dot-product, output proj."""
+
+    num_heads: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, C = x.shape
+        head_dim = C // self.num_heads
+        dense = partial(nn.Dense, dtype=self.dtype, param_dtype=jnp.float32)
+
+        qkv = dense(3 * C, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        out = jax.nn.dot_product_attention(q, k, v)  # scale=head_dim**-0.5
+        out = out.reshape(B, N, C)
+        return dense(C, name="proj")(out)
+
+
+class Mlp(nn.Module):
+    hidden: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        dense = partial(nn.Dense, dtype=self.dtype, param_dtype=jnp.float32)
+        x = dense(self.hidden, name="fc1")(x)
+        # timm uses exact (erf) GELU
+        x = nn.gelu(x, approximate=False)
+        return dense(C, name="fc2")(x)
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block (residuals accumulated in f32)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        ln = partial(nn.LayerNorm, epsilon=1e-6, dtype=jnp.float32,
+                     param_dtype=jnp.float32)
+        x = x + Attention(self.num_heads, dtype=self.dtype, name="attn")(
+            ln(name="norm1")(x).astype(self.dtype)).astype(jnp.float32)
+        x = x + Mlp(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp")(
+            ln(name="norm2")(x).astype(self.dtype)).astype(jnp.float32)
+        return x
+
+
+class ViT(nn.Module):
+    """Vision transformer trunk. Input NHWC float images."""
+
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, pool: bool = True):
+        B = x.shape[0]
+        x = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
+                    strides=(self.patch_size, self.patch_size),
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    name="patch_embed")(x.astype(self.dtype))
+        x = x.reshape(B, -1, self.embed_dim)  # [B, 196, C]
+
+        cls_token = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, self.embed_dim),
+            jnp.float32)
+        pos_embed = self.param(
+            "pos_embed", nn.initializers.normal(0.02),
+            (1, x.shape[1] + 1, self.embed_dim), jnp.float32)
+
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls_token, (B, 1, self.embed_dim)).astype(self.dtype), x],
+            axis=1)
+        x = x.astype(jnp.float32) + pos_embed  # residual stream in f32
+
+        for i in range(self.depth):
+            x = Block(self.num_heads, self.mlp_ratio, dtype=self.dtype,
+                      name=f"block{i}")(x)
+
+        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                         param_dtype=jnp.float32, name="norm")(x)
+        if pool:
+            # timm-0.4 forward_features contract: CLS token after final norm
+            return x[:, 0]
+        return x
+
+
+def vit_base_patch16_224(dtype=jnp.bfloat16) -> ViT:
+    return ViT(patch_size=16, embed_dim=768, depth=12, num_heads=12,
+               mlp_ratio=4.0, dtype=dtype)
