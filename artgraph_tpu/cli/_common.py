@@ -1,0 +1,190 @@
+"""Shared CLI plumbing: the reference's base argparse surface, loss factories,
+and the train/valid/test loop skeleton every script instantiates.
+
+The reference duplicates this loop in eight scripts (SURVEY.md §3.1); flag
+names, defaults, checkpoint naming, early-stopping parameters, print formats
+and MLflow metric names are preserved 1:1 here.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from artgraph_tpu import config
+from artgraph_tpu.checkpointing import (
+    load_reference_checkpoint,
+    save_reference_checkpoint,
+)
+from artgraph_tpu.data import prepare_dataloader
+from artgraph_tpu.metrics import summarize, write_results
+from artgraph_tpu.tracking import log_metric, track_params
+from artgraph_tpu.train import EarlyStopping, cross_entropy
+from artgraph_tpu.train.trainer import Trainer, accuracy_metrics
+
+NUM_CLASSES = dict(config.NUM_CLASSES)
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: the 20-40s ResNet/ViT compiles are
+    paid once per program shape across ALL CLI invocations, not per process.
+    Override the location with JAX_COMPILATION_CACHE_DIR."""
+    import jax
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.expanduser("~/.cache/artgraph_tpu_xla"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without these flags
+
+
+_enable_compilation_cache()
+
+
+def get_base_arguments() -> argparse.ArgumentParser:
+    """Shared argparse surface (ref: src/utils.py:17-28) + TPU extras."""
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--image_path', type=str, default=config.IMAGE_DIR,
+                        help='Experiment name.')
+    parser.add_argument('--dataset_path', type=str, default=config.DATASET_DIR,
+                        help='Experiment name.')
+    parser.add_argument('--exp', type=str, default='test', help='Experiment name.')
+    parser.add_argument('--epochs', type=int, default=1,
+                        help='Number of epochs to train.')
+    parser.add_argument('--batch', type=int, default=32,
+                        help='Number of epochs to train.')
+    parser.add_argument('--lr', type=float, default=3e-4,
+                        help='Initial learning rate.')
+    parser.add_argument('--with_weights', action='store_true',
+                        help='If using class weights for tackling class imabalnces.')
+    parser.add_argument('-t', '--tracking', action='store_true',
+                        help='If tracking or not with MLFlow.')
+    # TPU-native extras (no reference analog)
+    parser.add_argument('--num_workers', type=int, default=6,
+                        help='Host data-loader worker threads.')
+    parser.add_argument('--data_parallel', type=int, default=0,
+                        help='Devices on the data mesh axis (0 = single device).')
+    parser.add_argument('--results_dir', type=str, default=None,
+                        help='If set, emit reference-schema results CSVs here.')
+    return parser
+
+
+def make_loaders(datasets: Dict, batch_size: int, num_workers: int,
+                 seed: int = config.GLOBAL_SEED):
+    """Reference loader kwargs (ref: train_baseline.py:23-25)."""
+    return prepare_dataloader(datasets, batch_size=batch_size,
+                              num_workers=num_workers, shuffle=True,
+                              drop_last=False, pin_memory=True, seed=seed)
+
+
+def make_mesh(args):
+    if getattr(args, 'data_parallel', 0):
+        from artgraph_tpu.parallel import create_mesh
+        return create_mesh(data=args.data_parallel)
+    return None
+
+
+# --------------------------------------------------------------------------
+# Loss factories (batch layouts carry the loader's trailing mask)
+# --------------------------------------------------------------------------
+
+def single_task_loss(class_weights: Optional[np.ndarray]):
+    cw = None if class_weights is None else jnp.asarray(class_weights)
+
+    def compute(outputs, batch):
+        labels, mask = batch[-2], batch[-1]
+        loss = cross_entropy(outputs, labels, class_weights=cw, mask=mask)
+        return loss, accuracy_metrics(outputs, labels, mask)
+
+    return compute
+
+
+def multi_task_loss(weights_style, weights_genre, w_style: float, w_genre: float):
+    """w_style*CE_s + w_genre*CE_g (0.6/0.4 baseline multitask,
+    ref: train_baseline_multitask.py:50-51; 0.5/0.5 new-multimodal,
+    ref: train_new_multimodal_multitask.py:79-81)."""
+    cw_s = None if weights_style is None else jnp.asarray(weights_style)
+    cw_g = None if weights_genre is None else jnp.asarray(weights_genre)
+
+    def compute(outputs, batch):
+        labels, mask = batch[-2], batch[-1]
+        style_labels, genre_labels = labels[:, 0], labels[:, 1]
+        loss = (w_style * cross_entropy(outputs[0], style_labels, cw_s, mask)
+                + w_genre * cross_entropy(outputs[1], genre_labels, cw_g, mask))
+        metrics = accuracy_metrics(outputs[0], style_labels, mask, "style_")
+        metrics.update(accuracy_metrics(outputs[1], genre_labels, mask, "genre_"))
+        return loss, metrics
+
+    return compute
+
+
+# --------------------------------------------------------------------------
+# Checkpoint helpers (reference .pt format)
+# --------------------------------------------------------------------------
+
+def checkpoint_saver(trainer: Trainer, model_name: str):
+    def save(state, path):
+        os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+        import jax
+        save_reference_checkpoint(model_name,
+                                  jax.device_get(trainer.variables(state)),
+                                  path)
+    return save
+
+
+def reload_state(trainer: Trainer, model_name: str, path: str):
+    return trainer.state_from_variables(load_reference_checkpoint(model_name, path))
+
+
+# --------------------------------------------------------------------------
+# Test-split evaluation + optional results CSVs
+# --------------------------------------------------------------------------
+
+def evaluate_single_task(trainer, state, loader, num_classes: int,
+                         results_dir: Optional[str] = None,
+                         output_index: Optional[int] = None,
+                         suffix: str = "") -> float:
+    def pick(out, idx):
+        if idx is None:
+            return out
+        for i in (idx if isinstance(idx, tuple) else (idx,)):
+            out = out[i]
+        return out
+
+    metrics, collected = trainer.eval_epoch(state, loader, collect_outputs=True)
+    logits, labels = [], []
+    task_col = {"_style": 0, "_genre": 1}.get(suffix)
+    for out_batch, rest in collected:
+        logits.append(pick(out_batch, output_index))
+        lab = rest[-1]  # labels are the last non-mask batch component
+        if lab.ndim == 2:  # multitask [n, 2] -> pick the task's column
+            lab = lab[:, task_col]
+        labels.append(lab)
+    scores = np.concatenate(logits)
+    y_true = np.concatenate(labels)
+    summary = summarize(y_true, scores, num_classes)
+    if results_dir:
+        write_results(results_dir, summary, suffix=suffix)
+    return summary["accuracy"]
+
+
+def run_epoch_loop(args, trainer, state, loaders, early_stop: EarlyStopping,
+                   train_fn, valid_fn):
+    """The reference epoch loop: always runs all --epochs; early stopping only
+    selects the saved checkpoint (ref: train_baseline.py:133-137 note)."""
+    if args.tracking:
+        track_params(args)
+    for epoch in range(args.epochs):
+        state = train_fn(state, epoch)
+        state = valid_fn(state, epoch)
+    return state
+
+
+def log_test_metric(args, name: str, value: float) -> None:
+    if args.tracking:
+        log_metric(name, value)

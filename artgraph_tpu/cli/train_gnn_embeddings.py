@@ -1,0 +1,167 @@
+"""KG node-embedding producer (pipeline stage 1): full-batch transductive
+hetero-GNN training.
+
+CLI-compatible rebuild of ref src/train_gnn_embeddings.py: loads the 4 graph
+variants (train full + train_train/train_validation/train_test, ref :110-115),
+applies ToUndirected (:117-120), trains a 2-layer HeteroSGNN (GATConv default,
+hidden 128, aggr sum, bn, dropout 0.4) with NLL on artwork nodes, prints
+metrics every 5 epochs, then saves the 128-dim artwork hidden states to the
+two reference file names (:91-92).
+
+The entire epoch (full-graph fwd+bwd+Adam) is ONE jitted XLA program; the
+reference's per-epoch PyG scatter/gather hot loop (SURVEY.md §3.2) becomes
+segment-op matmuls on the MXU. Quirk fixed+documented: the reference declares
+--lr with type=int (ref :16); ours is float with the same 0.01 default.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from artgraph_tpu import config
+from artgraph_tpu.data.artgraph import ArtGraph, to_undirected
+from artgraph_tpu.data.embeddings import save_embedding
+from artgraph_tpu.models.gnn import HeteroSGNN
+from artgraph_tpu.train import nll_loss
+from artgraph_tpu.train.trainer import adam
+
+
+def get_accuracy(log_probs: np.ndarray, labels: np.ndarray) -> float:
+    return float((np.argmax(log_probs, axis=1) == labels).mean())
+
+
+def make_steps(model, tx):
+    @partial(jax.jit, donate_argnums=(0, 2))
+    def train_step(params, batch_stats, opt_state, rng, x, edges, y):
+        def loss_fn(p):
+            (emb, outs), mut = model.apply(
+                {"params": p, "batch_stats": batch_stats}, x, edges,
+                train=True, rngs={"dropout": rng}, mutable=["batch_stats"])
+            loss = nll_loss(outs[0]["artwork"], y)
+            return loss, (outs[0]["artwork"], mut["batch_stats"])
+
+        (loss, (logp, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats, opt_state, loss, logp
+
+    @jax.jit
+    def eval_step(params, batch_stats, x, edges, y):
+        emb, outs = model.apply({"params": params, "batch_stats": batch_stats},
+                                x, edges, train=False)
+        logp = outs[0]["artwork"]
+        return nll_loss(logp, y), logp, emb["artwork"]
+
+    return train_step, eval_step
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--label', type=str, default='style',
+                        help='Label to predict (style|genre).')
+    parser.add_argument('--operator', type=str, default='GATConv',
+                        help='GCN operator.')
+    parser.add_argument('--lr', type=float, default=0.01, help='Learning rate.')
+    parser.add_argument('--epochs', type=int, default=50, help='Epochs.')
+    parser.add_argument('--activation', type=str, default='relu',
+                        help='Activation (relu|prelu).')
+    args = parser.parse_args(argv)
+
+    graphs = {
+        name: to_undirected(ArtGraph(
+            os.path.join(config.DATASET_DIR, name), preprocess='one-hot',
+            features=True, type=split)[0])
+        for name, split in (("train", "train"), ("train_train", "train"),
+                            ("train_validation", "validation"),
+                            ("train_test", "test"))
+    }
+    data_train_full = graphs["train"]
+    data_train = graphs["train_train"]
+    data_validation = graphs["train_validation"]
+    data_test = graphs["train_test"]
+
+    label = args.label
+    model = HeteroSGNN(metadata=data_train.metadata,
+                       operator=args.operator,
+                       activation=args.activation,
+                       aggr='sum',
+                       hidden_channels=128,
+                       out_channels=config.NUM_CLASSES[label],
+                       n_layers=2,
+                       dropout=0.4,
+                       bn=True,
+                       skip=False)
+
+    y = {name: jnp.asarray(g.labels[f"y_{label}"])
+         for name, g in graphs.items()}
+
+    rng = jax.random.PRNGKey(config.GLOBAL_SEED)
+    variables = model.init(rng, data_train.node_features, data_train.edges,
+                           train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = adam(args.lr)
+    opt_state = tx.init(params)
+
+    train_step, eval_step = make_steps(model, tx)
+
+    train_loss = train_acc = 0.0
+    for epoch in range(args.epochs):
+        step_rng = jax.random.fold_in(rng, epoch)
+        params, batch_stats, opt_state, loss, logp = train_step(
+            params, batch_stats, opt_state, step_rng,
+            data_train.node_features, data_train.edges, y["train_train"])
+        train_loss = float(loss)
+        train_acc = get_accuracy(np.asarray(logp), np.asarray(y["train_train"]))
+        val_loss, val_logp, _ = eval_step(
+            params, batch_stats, data_validation.node_features,
+            data_validation.edges, y["train_validation"])
+        if epoch % 5 == 0:
+            print(f'{label}_train_loss', round(train_loss, 4))
+            print(f'{label}_train_accuracy', round(train_acc, 2) * 100)
+            print(f'{label}_val_loss', round(float(val_loss), 4))
+            print(f'{label}_val_accuracy',
+                  round(get_accuracy(np.asarray(val_logp),
+                                     np.asarray(y["train_validation"])), 2) * 100)
+
+    val_loss, val_logp, _ = eval_step(
+        params, batch_stats, data_validation.node_features,
+        data_validation.edges, y["train_validation"])
+    test_loss, test_logp, _ = eval_step(
+        params, batch_stats, data_test.node_features, data_test.edges,
+        y["train_test"])
+    print(f'{label}_train_loss', round(train_loss, 4))
+    print(f'{label}_train_accuracy', round(train_acc, 2) * 100)
+    print(f'{label}_val_loss', round(float(val_loss), 4))
+    print(f'{label}_val_accuracy',
+          round(get_accuracy(np.asarray(val_logp),
+                             np.asarray(y["train_validation"])), 2) * 100)
+    print(f'{label}_test_loss', round(float(test_loss), 4))
+    print(f'{label}_test_accuracy',
+          round(get_accuracy(np.asarray(test_logp),
+                             np.asarray(y["train_test"])), 2) * 100)
+
+    # save_embeddings (ref :82-93): eval fwd on the FULL train graph; the
+    # artwork embedding is the post-BN pre-activation hidden state.
+    print('Saving embeddings...')
+    _, _, emb_artwork = eval_step(
+        params, batch_stats, data_train_full.node_features,
+        data_train_full.edges, y["train"])
+    emb = np.asarray(jax.device_get(emb_artwork))
+    os.makedirs(config.EMBEDDINGS_DIR, exist_ok=True)
+    save_embedding(os.path.join(config.EMBEDDINGS_DIR,
+                                f"test_gnn_artwork_{label}_embs.pt"), emb)
+    save_embedding(os.path.join(config.EMBEDDINGS_DIR,
+                                f"test_gnn_{label}_embs.pt"), emb)
+    print('Saved.')
+
+
+if __name__ == '__main__':
+    main()

@@ -33,4 +33,4 @@ def save_embedding(path: str, array: np.ndarray) -> None:
     else:
         import torch
 
-        torch.save(torch.from_numpy(array), path)
+        torch.save(torch.from_numpy(array.copy()), path)

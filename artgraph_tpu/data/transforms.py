@@ -32,7 +32,16 @@ def decode_resize_uint8(image_path: str, size: int = config.IMAGE_SIZE) -> np.nd
 
     Matches ref src/data/data.py:38-49 `prepare_image` up to (but excluding)
     ToTensor/Normalize, which run on device.
+
+    Fast path: the native C++ runtime (libjpeg decode + PIL-bit-exact
+    resampling, artgraph_tpu.runtime) handles RGB JPEGs; PIL covers
+    everything else (PNG, CMYK/greyscale JPEG, truncated files).
     """
+    from artgraph_tpu.runtime import decode_resize_native
+
+    native = decode_resize_native(image_path, size)
+    if native is not None:
+        return native
     image = Image.open(image_path)
     if image.mode != "RGB":
         image = image.convert("RGB")

@@ -1,0 +1,240 @@
+"""Generic sharded trainer for every image-model experiment family.
+
+The reference repeats one train/valid/test closure pattern across eight
+scripts (SURVEY.md §3.1); here it is a single Trainer parameterized by two
+small functions:
+
+  forward_inputs(images_f32, batch) -> tuple of model args
+  compute_loss(outputs, batch)      -> (scalar loss, metrics dict)
+
+TPU-first structure of each step:
+  * batches arrive as uint8 NHWC + f32 validity mask (static shapes, no
+    recompiles on the ragged final batch);
+  * normalization fuses into the jitted step (ops.preprocess);
+  * the whole step (fwd + bwd + Adam/SGD update + BN stat update) is ONE
+    XLA program with donated state (no host round-trips inside an epoch);
+  * under a Mesh, batches are sharded over the 'data' axis and params
+    replicated — XLA emits the gradient all-reduce over ICI automatically
+    (the reference has no distributed mode at all, SURVEY.md §2.2).
+
+Epoch metric accumulation matches the reference exactly: totals weighted by
+the true per-batch example counts (ref: train_baseline.py:68-70).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from artgraph_tpu.ops.preprocess import normalize_images
+from artgraph_tpu.parallel.mesh import batch_sharding, replicated
+from artgraph_tpu.train.train_state import TrainState
+
+
+def accuracy_metrics(logits, labels, mask, prefix="") -> Dict[str, jnp.ndarray]:
+    """Masked correct-prediction count (the reference's accuracy numerator)."""
+    pred = jnp.argmax(logits, axis=-1)
+    correct = jnp.sum((pred == labels).astype(jnp.float32) * mask)
+    return {f"{prefix}correct": correct}
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        optimizer: optax.GradientTransformation,
+        forward_inputs: Callable,
+        compute_loss: Callable,
+        transform_type: str = "resnet",
+        eval_forward_inputs: Optional[Callable] = None,
+        eval_compute_loss: Optional[Callable] = None,
+        mesh=None,
+        seed: int = 1,
+    ):
+        self.model = model
+        self.tx = optimizer
+        self.forward_inputs = forward_inputs
+        self.compute_loss = compute_loss
+        self.eval_forward_inputs = eval_forward_inputs or forward_inputs
+        self.eval_compute_loss = eval_compute_loss or compute_loss
+        self.transform_type = transform_type
+        self.mesh = mesh
+        self.base_rng = jax.random.PRNGKey(seed)
+        self._train_step = None
+        self._eval_step = None
+        self._host_step = 0  # host-side twin of state.step: keeps rng
+                             # derivation off the device (no sync per step)
+
+    # ------------------------------------------------------------------
+    def init(self, sample_batch) -> TrainState:
+        """Initialize params/opt_state from one (host) batch."""
+        images = normalize_images(jnp.asarray(sample_batch[0][:1]),
+                                  self.transform_type)
+        inputs = self.forward_inputs(images, _slice_batch(sample_batch, 1))
+        variables = self.model.init(self.base_rng, *inputs, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        state = TrainState(step=0, params=params, batch_stats=batch_stats,
+                           opt_state=self.tx.init(params))
+        if self.mesh is not None:
+            state = jax.device_put(state, replicated(self.mesh))
+        return state
+
+    def state_from_variables(self, variables: dict) -> TrainState:
+        """Build a fresh state around imported variables (checkpoint load)."""
+        params = variables["params"]
+        state = TrainState(step=0, params=params,
+                           batch_stats=variables.get("batch_stats", {}),
+                           opt_state=self.tx.init(params))
+        if self.mesh is not None:
+            state = jax.device_put(state, replicated(self.mesh))
+        return state
+
+    def variables(self, state: TrainState) -> dict:
+        v = {"params": state.params}
+        if state.batch_stats:
+            v["batch_stats"] = state.batch_stats
+        return v
+
+    # ------------------------------------------------------------------
+    def _build_train_step(self, has_bn: bool):
+        model = self.model
+
+        def step_fn(state: TrainState, rng, *batch):
+            images = normalize_images(batch[0], self.transform_type)
+            inputs = self.forward_inputs(images, batch)
+
+            def loss_fn(params):
+                variables = {"params": params}
+                if has_bn:
+                    variables["batch_stats"] = state.batch_stats
+                    outputs, mut = model.apply(
+                        variables, *inputs, train=True,
+                        rngs={"dropout": rng}, mutable=["batch_stats"])
+                    new_stats = mut["batch_stats"]
+                else:
+                    outputs = model.apply(variables, *inputs, train=True,
+                                          rngs={"dropout": rng})
+                    new_stats = state.batch_stats
+                loss, metrics = self.compute_loss(outputs, batch)
+                return loss, (metrics, new_stats)
+
+            (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(step=state.step + 1, params=params,
+                                   batch_stats=new_stats, opt_state=opt_state)
+            metrics = dict(metrics)
+            metrics["loss"] = loss
+            return new_state, metrics
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def _build_eval_step(self, has_bn: bool):
+        model = self.model
+
+        def step_fn(state: TrainState, *batch):
+            images = normalize_images(batch[0], self.transform_type)
+            inputs = self.eval_forward_inputs(images, batch)
+            variables = {"params": state.params}
+            if has_bn:
+                variables["batch_stats"] = state.batch_stats
+            outputs = model.apply(variables, *inputs, train=False)
+            loss, metrics = self.eval_compute_loss(outputs, batch)
+            metrics = dict(metrics)
+            metrics["loss"] = loss
+            return outputs, metrics
+
+        return jax.jit(step_fn)
+
+    # ------------------------------------------------------------------
+    def _put(self, batch):
+        if self.mesh is None:
+            return tuple(jnp.asarray(b) for b in batch)
+        sharding = batch_sharding(self.mesh)
+        return tuple(jax.device_put(b, sharding) for b in batch)
+
+    def train_epoch(self, state: TrainState, loader,
+                    epoch: int = 0) -> Tuple[TrainState, Dict[str, float]]:
+        has_bn = bool(state.batch_stats)
+        if self._train_step is None:
+            self._train_step = self._build_train_step(has_bn)
+
+        # Metrics accumulate ON DEVICE across the epoch; a single host read at
+        # the end avoids a device->host sync per step (which on tunneled
+        # platforms costs ~10-30ms each and serializes dispatch).
+        totals: Dict[str, jnp.ndarray] = {}
+        total_examples = 0.0
+        for batch in loader:
+            mask = batch[-1]
+            n = float(mask.sum())
+            rng = jax.random.fold_in(self.base_rng, self._host_step)
+            self._host_step += 1
+            state, metrics = self._train_step(state, rng, *self._put(batch))
+            # reference accumulation: loss.item() * batch_size summed
+            totals["loss"] = totals.get("loss", 0.0) + metrics["loss"] * n
+            for k, v in metrics.items():
+                if k != "loss":
+                    totals[k] = totals.get(k, 0.0) + v
+            total_examples += n
+
+        totals = jax.device_get(totals)
+        out = {k: float(v) / total_examples for k, v in totals.items()}
+        out["examples"] = total_examples
+        return state, out
+
+    def eval_epoch(self, state: TrainState, loader,
+                   collect_outputs: bool = False):
+        has_bn = bool(state.batch_stats)
+        if self._eval_step is None:
+            self._eval_step = self._build_eval_step(has_bn)
+
+        totals: Dict[str, jnp.ndarray] = {}
+        total_examples = 0.0
+        collected = []
+        for batch in loader:
+            mask = batch[-1]
+            n = float(mask.sum())
+            outputs, metrics = self._eval_step(state, *self._put(batch))
+            totals["loss"] = totals.get("loss", 0.0) + metrics["loss"] * n
+            for k, v in metrics.items():
+                if k != "loss":
+                    totals[k] = totals.get(k, 0.0) + v
+            total_examples += n
+            if collect_outputs:
+                valid = int(n)
+                trim = lambda o: np.asarray(jax.device_get(o))[:valid]
+                collected.append((jax.tree_util.tree_map(trim, outputs),
+                                  tuple(np.asarray(b)[:valid] for b in batch[1:-1])))
+
+        totals = jax.device_get(totals)
+        out = {k: float(v) / total_examples for k, v in totals.items()}
+        out["examples"] = total_examples
+        if collect_outputs:
+            return out, collected
+        return out
+
+
+def _slice_batch(batch, n: int):
+    return tuple(np.asarray(b)[:n] for b in batch)
+
+
+# --------------------------------------------------------------------------
+# Optimizers with torch-default hyperparameters
+# --------------------------------------------------------------------------
+
+def adam(lr: float) -> optax.GradientTransformation:
+    """torch.optim.Adam defaults (betas 0.9/0.999, eps 1e-8) — every
+    reference trainer except ContextNet (ref: train_baseline.py:44)."""
+    return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+
+
+def sgd_momentum(lr: float, momentum: float = 0.9) -> optax.GradientTransformation:
+    """torch.optim.SGD(momentum=0.9) — ContextNet
+    (ref: train_baseline_context.py:49)."""
+    return optax.sgd(lr, momentum=momentum)

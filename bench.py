@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Benchmark harness: images/sec/chip for ResNet50 & ViT-B/16 full training
+steps (fwd+bwd+Adam, bf16, uint8 input pipeline fused on device).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+The reference publishes no throughput numbers (BASELINE.md); vs_baseline is
+measured against the PyTorch-CPU reference configuration (the thesis code is
+single-device torch; on this container's CPU it sustains ~TORCH_CPU_RESNET50
+images/sec for the same fwd+bwd step — re-measure with --measure-torch).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+# torch-CPU ResNet50 fwd+bwd images/sec measured on this container
+# (1-core torch 2.13, batch 8; see --measure-torch). The reference's own
+# hardware is unspecified (BASELINE.md), so the CPU config anchors the
+# ">=10x PyTorch-CPU" north star.
+TORCH_CPU_RESNET50 = 0.77
+
+
+def bench_model(model_name: str, batch: int, steps: int, image_size: int = 224):
+    from artgraph_tpu.models import ResnetSingleTask, ViTSingleTask
+    from artgraph_tpu.ops.preprocess import normalize_images
+    from artgraph_tpu.train import cross_entropy
+
+    if model_name == "resnet50":
+        model = ResnetSingleTask(num_class=32, dropout=0.4)
+        transform = "resnet"
+    else:
+        model = ViTSingleTask(num_class=32, dropout=0.4)
+        transform = "vit"
+
+    rng = jax.random.PRNGKey(0)
+    images_u8 = jnp.asarray(
+        np.random.default_rng(0).integers(
+            0, 256, (batch, image_size, image_size, 3), dtype=np.uint8))
+    labels = jnp.asarray(
+        np.random.default_rng(1).integers(0, 32, (batch,), dtype=np.int32))
+
+    images_f32 = normalize_images(images_u8, transform)
+    variables = model.init(rng, images_f32, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = optax.adam(3e-4)
+    opt_state = tx.init(params)
+    has_bn = bool(batch_stats)
+
+    def step_fn(params, batch_stats, opt_state, images_u8, labels, rng):
+        images = normalize_images(images_u8, transform)
+
+        def loss_fn(p):
+            v = {"params": p}
+            if has_bn:
+                v["batch_stats"] = batch_stats
+                out, mut = model.apply(v, images, train=True,
+                                       rngs={"dropout": rng},
+                                       mutable=["batch_stats"])
+                new_stats = mut["batch_stats"]
+            else:
+                out = model.apply(v, images, train=True, rngs={"dropout": rng})
+                new_stats = batch_stats
+            return cross_entropy(out, labels), new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats, opt_state, loss
+
+    step = jax.jit(step_fn, donate_argnums=(0, 1, 2))
+
+    def run(n, params, batch_stats, opt_state):
+        """Chain n steps and force completion with a HOST READ of the final
+        loss. On the axon tunnel platform jax.block_until_ready returns
+        before device execution finishes; only a device->host transfer truly
+        synchronizes, so wall-time is measured to a np.asarray of the loss."""
+        t0 = time.perf_counter()
+        loss = None
+        for i in range(n):
+            params, batch_stats, opt_state, loss = step(
+                params, batch_stats, opt_state, images_u8, labels,
+                jax.random.fold_in(rng, i))
+        np.asarray(loss)
+        return time.perf_counter() - t0, params, batch_stats, opt_state
+
+    # warmup / compile
+    _, params, batch_stats, opt_state = run(2, params, batch_stats, opt_state)
+
+    # two-point measurement cancels the fixed per-chain dispatch/transfer
+    # overhead: slope of wall-time vs step count is the true step time
+    n1 = max(steps // 5, 2)
+    t1, params, batch_stats, opt_state = run(n1, params, batch_stats, opt_state)
+    t2, params, batch_stats, opt_state = run(steps, params, batch_stats, opt_state)
+    step_time = (t2 - t1) / (steps - n1)
+    return batch / step_time
+
+
+def measure_torch_cpu(batch: int = 8, steps: int = 5) -> float:
+    import sys
+    sys.path.insert(0, "tests")
+    import torch
+    from _torch_oracles import ResNet50Oracle
+
+    model = ResNet50Oracle()
+    head = torch.nn.Linear(2048, 32)
+    opt = torch.optim.Adam(list(model.parameters()) + list(head.parameters()))
+    crit = torch.nn.CrossEntropyLoss()
+    x = torch.randn(batch, 3, 224, 224)
+    y = torch.randint(0, 32, (batch,))
+    for _ in range(2):
+        opt.zero_grad(); crit(head(model(x)), y).backward(); opt.step()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        opt.zero_grad(); crit(head(model(x)), y).backward(); opt.step()
+    return batch * steps / (time.perf_counter() - t0)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=128)
+    parser.add_argument("--steps", type=int, default=30)
+    parser.add_argument("--measure-torch", action="store_true",
+                        help="re-measure the torch-CPU baseline instead")
+    args = parser.parse_args()
+
+    if args.measure_torch:
+        print(json.dumps({"metric": "torch_cpu_resnet50_fwd_bwd",
+                          "value": round(measure_torch_cpu(), 3),
+                          "unit": "images/sec", "vs_baseline": 1.0}))
+        return
+
+    resnet_ips = bench_model("resnet50", args.batch, args.steps)
+    vit_ips = bench_model("vit", args.batch, args.steps)
+
+    print(json.dumps({
+        "metric": "resnet50_fwd_bwd_images_per_sec_per_chip",
+        "value": round(resnet_ips, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(resnet_ips / TORCH_CPU_RESNET50, 1),
+        "extras": {
+            "vit_b16_fwd_bwd_images_per_sec_per_chip": round(vit_ips, 1),
+            "batch": args.batch,
+            "dtype": "bfloat16",
+            "baseline": "torch-cpu resnet50 fwd+bwd (reference stack, "
+                        f"{TORCH_CPU_RESNET50} img/s on this host)",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

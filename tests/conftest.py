@@ -72,3 +72,45 @@ def synthetic_dataset(tmp_path_factory):
         "num_style": n_style,
         "num_genre": n_genre,
     }
+
+
+@pytest.fixture(scope="session")
+def synthetic_graph(tmp_path_factory):
+    """Miniature ArtGraph KG raw tree: the 4 graph variants the GNN stage
+    loads (ref: train_gnn_embeddings.py:110-115), each with node features,
+    labels, num-node-dict and the 9 relations (ref: src/data/artgraph.py)."""
+    root = tmp_path_factory.mktemp("artgraph_kg")
+    rng = np.random.default_rng(7)
+    counts = {"artwork": 12, "artist": 3, "gallery": 2, "style": 4,
+              "genre": 3, "tag": 5, "media": 2, "field": 2, "movement": 2}
+    edge_types = [
+        ("artist", "field", "field"), ("artist", "movement", "movement"),
+        ("artist", "teacher", "artist"), ("artwork", "media", "media"),
+        ("artwork", "about", "tag"), ("artwork", "genre", "genre"),
+        ("artwork", "style", "style"), ("artwork", "author", "artist"),
+        ("artwork", "locatedin", "gallery"),
+    ]
+    feat_dim = 8
+    for name in ("train", "train_train", "train_validation", "train_test"):
+        raw = root / name / "raw"
+        (raw / "node-feat" / "artwork").mkdir(parents=True)
+        (raw / "node-label" / "artwork").mkdir(parents=True)
+        pd.DataFrame(rng.normal(size=(counts["artwork"], feat_dim)).astype(
+            np.float32)).to_csv(raw / "node-feat" / "artwork" / "node-feat.csv",
+                                header=False, index=False)
+        for label, n in (("style", counts["style"]), ("genre", counts["genre"])):
+            pd.Series(rng.integers(0, n, counts["artwork"]).astype(np.float32)
+                      ).to_csv(raw / "node-label" / "artwork" /
+                               f"node-label-{label}.csv", header=False,
+                               index=False)
+        pd.DataFrame({k: [v] for k, v in counts.items()}).to_csv(
+            raw / "num-node-dict.csv", index=False)
+        for h, r, t in edge_types:
+            d = raw / "relations" / f"{h}___{r}___{t}"
+            d.mkdir(parents=True)
+            n_edges = 10
+            src = rng.integers(0, counts[h], n_edges)
+            dst = rng.integers(0, counts[t], n_edges)
+            pd.DataFrame({"src": src, "dst": dst}).to_csv(
+                d / "edge.csv", header=False, index=False)
+    return {"root": str(root), "counts": counts, "feat_dim": feat_dim}

@@ -1,0 +1,141 @@
+"""End-to-end mini-pipeline on synthetic data (SURVEY.md §4 plan): all four
+stages — GNN embeddings -> projector -> projections -> fusion model — plus
+the baseline trainer, through the real CLI entry points on the 8-device CPU
+platform."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def env(synthetic_dataset, synthetic_graph, tmp_path, monkeypatch):
+    """Point config at the synthetic trees via env + module reload."""
+    ck = tmp_path / "checkpoints"
+    proj = tmp_path / "proj"
+    emb = os.path.join(synthetic_dataset["dataset_dir"], "train", "embeddings")
+    ck.mkdir()
+    proj.mkdir()
+    os.makedirs(emb, exist_ok=True)
+    from artgraph_tpu import config
+    monkeypatch.setattr(config, "CHECKPOINTS_DIR", str(ck))
+    monkeypatch.setattr(config, "PROJECTIONS_DIR", str(proj))
+    monkeypatch.setattr(config, "EMBEDDINGS_DIR", emb)
+    monkeypatch.setattr(config, "DATASET_DIR", synthetic_dataset["dataset_dir"])
+    monkeypatch.setattr(config, "IMAGE_DIR", synthetic_dataset["image_dir"])
+    return {"ck": str(ck), "proj": str(proj), "emb": emb,
+            "ds": synthetic_dataset["dataset_dir"],
+            "img": synthetic_dataset["image_dir"],
+            "graph": synthetic_graph["root"]}
+
+
+BASE = ["--epochs", "1", "--batch", "8", "--num_workers", "2"]
+
+
+def _data_args(env):
+    return ["--dataset_path", env["ds"], "--image_path", env["img"]]
+
+
+def test_train_baseline_e2e(env, tmp_path):
+    from artgraph_tpu.cli import train_baseline
+
+    acc = train_baseline.main(_data_args(env) + BASE + [
+        "--label", "style", "--results_dir", str(tmp_path / "res")])
+    assert 0.0 <= acc <= 1.0
+    assert os.path.exists(os.path.join(
+        env["ck"], "style_resnet_baseline_single-task_checkpoint.pt"))
+    assert os.path.exists(tmp_path / "res" / "results.csv")
+
+
+def test_train_baseline_with_weights_and_tracking(env, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from artgraph_tpu.cli import train_baseline
+
+    acc = train_baseline.main(_data_args(env) + BASE + [
+        "--label", "genre", "--with_weights", "--tracking"])
+    assert 0.0 <= acc <= 1.0
+    assert os.path.isdir(tmp_path / "mlruns")
+
+
+def test_train_baseline_multitask_e2e(env):
+    from artgraph_tpu.cli import train_baseline_multitask
+
+    style_acc, genre_acc = train_baseline_multitask.main(_data_args(env) + BASE)
+    assert 0.0 <= style_acc <= 1.0 and 0.0 <= genre_acc <= 1.0
+
+
+def test_full_four_stage_pipeline(env):
+    """GNN -> projector -> generate_projections -> new_multimodal_multitask."""
+    from artgraph_tpu import config
+    from artgraph_tpu.cli import (
+        generate_projections,
+        train_new_multimodal_multitask,
+        train_projector,
+    )
+    from artgraph_tpu.cli import train_gnn_embeddings
+    from artgraph_tpu.data.embeddings import load_embedding, save_embedding
+
+    # stage 1: GNN embeddings over the toy KG
+    orig_ds = config.DATASET_DIR
+    config.DATASET_DIR = env["graph"]
+    try:
+        train_gnn_embeddings.main(["--label", "style", "--epochs", "3"])
+    finally:
+        config.DATASET_DIR = orig_ds
+    emb = load_embedding(os.path.join(env["emb"], "test_gnn_artwork_style_embs.pt"))
+    assert emb.shape == (12, 128)
+
+    # the image dataset has 24 train rows; resize the embedding table to match
+    n_train = 24
+    table = np.tile(emb, (2, 1))[:n_train]
+    for name in ("gnn_style_embs_graph.pt", "gnn_genre_embs_graph.pt"):
+        save_embedding(os.path.join(env["emb"], name), table)
+
+    # stage 2: projector on the seeded 80/10/10 split
+    train_projector.main(_data_args(env) + BASE + [
+        "--exp", "e2e", "--node_embedding", "gnn_style_embs_graph.pt",
+        "--emb_type", "artwork"])
+    assert os.path.exists(os.path.join(env["proj"], "e2e_checkpoint_projector.pt"))
+
+    # stage 3: order-preserving projection generation for valid/test
+    generate_projections.main([])
+    for split in ("validation", "test"):
+        p = load_embedding(os.path.join(env["ds"], split, "embeddings",
+                                        "e2e_checkpoint_projector.pt"))
+        assert p.shape == (8, 128)
+
+    # stage 4: the proposed fusion model end-to-end
+    style_acc, genre_acc = train_new_multimodal_multitask.main(
+        _data_args(env) + BASE + [
+            "--architecture", "resnet", "--emb_type", "artwork",
+            "--emb_train_style", "gnn_style_embs_graph.pt",
+            "--emb_train_genre", "gnn_genre_embs_graph.pt",
+            "--emb_valid_style", "e2e_checkpoint_projector.pt",
+            "--emb_valid_genre", "e2e_checkpoint_projector.pt",
+            "--emb_test_style", "e2e_checkpoint_projector.pt",
+            "--emb_test_genre", "e2e_checkpoint_projector.pt"])
+    assert 0.0 <= style_acc <= 1.0 and 0.0 <= genre_acc <= 1.0
+
+
+def test_context_trainer_e2e(env):
+    from artgraph_tpu.cli import train_baseline_context
+    from artgraph_tpu.data.embeddings import save_embedding
+
+    rng = np.random.default_rng(0)
+    save_embedding(os.path.join(env["emb"], "ctx_embs.pt"),
+                   rng.normal(size=(24, 128)).astype(np.float32))
+    acc = train_baseline_context.main(_data_args(env) + BASE + [
+        "--net", "multi-modal", "--label", "genre",
+        "--emb_type", "artwork", "--emb_train", "ctx_embs.pt"])
+    assert 0.0 <= acc <= 1.0
+
+
+def test_data_parallel_training(env):
+    """DP over the 8-device CPU mesh: same CLI, --data_parallel 8."""
+    from artgraph_tpu.cli import train_baseline
+
+    acc = train_baseline.main(_data_args(env) + [
+        "--epochs", "1", "--batch", "8", "--num_workers", "2",
+        "--label", "style", "--data_parallel", "8"])
+    assert 0.0 <= acc <= 1.0
