@@ -273,6 +273,37 @@ class HeteroSGNN(nn.Module):
         return x, [out_soft]
 
 
+class HeteroMGNN(nn.Module):
+    """Three parallel hetero GNNs (artist/style/genre heads) — present in the
+    reference but unused by any script (ref: models_graph.py:51-64, noted
+    dead code in SURVEY.md §2.1 #9); provided for API completeness."""
+
+    metadata: Tuple[Tuple[str, ...], Tuple[Tuple[str, str, str], ...]]
+    operator: str = "GATConv"
+    activation: str = "relu"
+    aggr: str = "sum"
+    hidden_channels: int = 128
+    out_channels: Dict[str, int] = None
+    n_layers: int = 2
+    dropout: float = 0.4
+    bn: bool = True
+    skip: bool = False
+
+    @nn.compact
+    def __call__(self, x_dict: Dict, edge_dict: Dict, train: bool = False):
+        outs = []
+        for task in ("artist", "style", "genre"):
+            gnn = HeteroSGNN(metadata=self.metadata, operator=self.operator,
+                             activation=self.activation, aggr=self.aggr,
+                             hidden_channels=self.hidden_channels,
+                             out_channels=self.out_channels[task],
+                             n_layers=self.n_layers, dropout=self.dropout,
+                             bn=self.bn, skip=self.skip,
+                             name=f"gnn_{task}")
+            outs.append(gnn(x_dict, edge_dict, train=train))
+        return outs
+
+
 class HomoGNN(nn.Module):
     """Homogeneous variant (ref: models_graph.py:66-97). Same quirky dataflow
     as the reference, including dropout applied to x (not x_emb) at :95."""

@@ -179,3 +179,41 @@ def test_gnn_operator_variants(synthetic_graph):
         variables = model.init(jax.random.PRNGKey(0), g.node_features, g.edges)
         emb, outs = model.apply(variables, g.node_features, g.edges)
         assert outs[0]["artwork"].shape == (12, 4), op
+
+
+def test_hetero_mgnn_and_homo_gnn(synthetic_graph):
+    from artgraph_tpu.models.gnn import HeteroMGNN, HomoSGNN
+
+    g = to_undirected(ArtGraph(os.path.join(synthetic_graph["root"], "train_train"),
+                               preprocess="one-hot", features=True)[0])
+    counts = synthetic_graph["counts"]
+    model = HeteroMGNN(metadata=g.metadata, hidden_channels=8,
+                       out_channels={"artist": counts["artist"],
+                                     "style": counts["style"],
+                                     "genre": counts["genre"]},
+                      n_layers=1, dropout=0.0, bn=False)
+    variables = model.init(jax.random.PRNGKey(0), g.node_features, g.edges)
+    outs = model.apply(variables, g.node_features, g.edges)
+    assert len(outs) == 3
+    assert outs[1][1][0]["artwork"].shape == (counts["artwork"], counts["style"])
+
+    # homogeneous path with GCN
+    n = 10
+    x = np.random.default_rng(0).normal(size=(n, 6)).astype(np.float32)
+    edges = np.asarray([[0, 1, 2, 3, 4], [5, 6, 7, 8, 9]], dtype=np.int32)
+    homo = HomoSGNN(operator="GCNConv", hidden_channels=4, out_channels=3,
+                    n_layers=1)
+    variables = homo.init(jax.random.PRNGKey(1), x, edges)
+    emb, outs = homo.apply(variables, x, edges)
+    assert emb.shape == (n, 4) and outs[0].shape == (n, 3)
+
+
+def test_utils_dropin_surface():
+    import artgraph_tpu.utils as U
+    for name in ("get_base_arguments", "prepare_raw_dataset", "load_dataset",
+                 "load_dataset_multimodal", "load_dataset_new_multimodal",
+                 "load_dataset_multitask_new_multimodal",
+                 "load_dataset_projection", "get_class_weights",
+                 "prepare_dataloader", "tracker", "tracker_multitask",
+                 "track_params"):
+        assert callable(getattr(U, name)), name
