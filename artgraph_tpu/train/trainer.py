@@ -186,6 +186,12 @@ class Trainer:
         totals = jax.device_get(totals)
         out = {k: float(v) / total_examples for k, v in totals.items()}
         out["examples"] = total_examples
+        if not np.isfinite(out["loss"]):
+            # failure detection (SURVEY.md §5): surface divergence at the
+            # epoch boundary instead of silently training on NaNs
+            raise FloatingPointError(
+                f"non-finite training loss {out['loss']} at step "
+                f"{self._host_step}; check lr/dtype policy")
         return state, out
 
     def eval_epoch(self, state: TrainState, loader,
