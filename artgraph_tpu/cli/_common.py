@@ -71,12 +71,20 @@ def get_base_arguments() -> argparse.ArgumentParser:
                         help='Devices on the data mesh axis (0 = single device).')
     parser.add_argument('--results_dir', type=str, default=None,
                         help='If set, emit reference-schema results CSVs here.')
+    parser.add_argument('--image_cache', type=str, default=None,
+                        help='Directory for the decoded-uint8 image cache '
+                             '(first epoch decodes once; later epochs read '
+                             'at memory bandwidth).')
     return parser
 
 
 def make_loaders(datasets: Dict, batch_size: int, num_workers: int,
-                 seed: int = config.GLOBAL_SEED):
+                 seed: int = config.GLOBAL_SEED, cache_dir: str = None):
     """Reference loader kwargs (ref: train_baseline.py:23-25)."""
+    if cache_dir:
+        from artgraph_tpu.data.cache import wrap_with_cache
+        datasets = {name: wrap_with_cache(ds, cache_dir, name)
+                    for name, ds in datasets.items()}
     return prepare_dataloader(datasets, batch_size=batch_size,
                               num_workers=num_workers, shuffle=True,
                               drop_last=False, pin_memory=True, seed=seed)

@@ -46,7 +46,8 @@ def main(argv=None):
         base_dir=args.dataset_path, image_dir=args.image_path,
         mode='single_task', label=args.label, transform_type=args.architecture)
     loaders = make_loaders({'train': dataset_train, 'valid': dataset_valid,
-                            'test': dataset_test}, args.batch, args.num_workers)
+                            'test': dataset_test}, args.batch, args.num_workers,
+                           cache_dir=args.image_cache)
 
     num_class = NUM_CLASSES[args.label]
     if args.architecture == 'resnet':

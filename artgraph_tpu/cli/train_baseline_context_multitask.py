@@ -52,7 +52,8 @@ def main(argv=None):
         base_dir=args.dataset_path, image_dir=args.image_path,
         mode='multi_task', emb_type=args.emb_type, emb_train=args.emb_train)
     loaders = make_loaders({'train': dataset_train, 'valid': dataset_valid,
-                            'test': dataset_test}, args.batch, args.num_workers)
+                            'test': dataset_test}, args.batch, args.num_workers,
+                           cache_dir=args.image_cache)
 
     model_cls, model_name = NETS[args.net]
     model = model_cls(emb_size=config.EMB_SIZE, num_classes=NUM_CLASSES)

@@ -41,7 +41,8 @@ def main(argv=None):
         base_dir=args.dataset_path, image_dir=args.image_path,
         mode='multi_task', transform_type=args.architecture)
     loaders = make_loaders({'train': dataset_train, 'valid': dataset_valid,
-                            'test': dataset_test}, args.batch, args.num_workers)
+                            'test': dataset_test}, args.batch, args.num_workers,
+                           cache_dir=args.image_cache)
 
     if args.architecture == 'resnet':
         model = ResnetMultiTask(NUM_CLASSES, args.dropout)

@@ -68,7 +68,8 @@ def main(argv=None):
         emb_test={'style': args.emb_test_style, 'genre': args.emb_test_genre},
         transform_type=args.architecture)
     loaders = make_loaders({'train': dataset_train, 'valid': dataset_valid,
-                            'test': dataset_test}, args.batch, args.num_workers)
+                            'test': dataset_test}, args.batch, args.num_workers,
+                           cache_dir=args.image_cache)
 
     if args.architecture == 'resnet':
         model = NewMultiModalMultiTask(emb_size=config.EMB_SIZE,

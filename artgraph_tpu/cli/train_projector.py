@@ -38,7 +38,8 @@ def main(argv=None):
         base_dir=args.dataset_path, image_dir=args.image_path,
         node_embedding=args.node_embedding, emb_type=args.emb_type)
     loaders = make_loaders({'train': dataset_train, 'valid': dataset_valid,
-                            'test': dataset_test}, args.batch, args.num_workers)
+                            'test': dataset_test}, args.batch, args.num_workers,
+                           cache_dir=args.image_cache)
 
     if args.architecture == 'resnet':
         model = LabelProjector(emb_size=config.EMB_SIZE)

@@ -133,3 +133,33 @@ def test_class_weights_formula(synthetic_dataset):
     counts = df.groupby("style").count()["image"]
     expected = (len(df) / (counts * num_classes)).values.astype(np.float32)
     np.testing.assert_allclose(weights, expected, rtol=1e-6)
+
+
+def test_decoded_image_cache(synthetic_dataset, tmp_path):
+    """First access decodes and fills the cache; later accesses read the
+    memmap and bypass decode entirely."""
+    from artgraph_tpu.data.cache import wrap_with_cache
+
+    train, _, _ = load_dataset(
+        synthetic_dataset["dataset_dir"], synthetic_dataset["image_dir"],
+        mode="single_task", label="style")
+    img_before, label = train[3]
+    train = wrap_with_cache(train, str(tmp_path), "train")
+
+    img_first, _ = train[3]
+    np.testing.assert_array_equal(img_first, img_before)
+    assert train._decoded_cache.valid[3] == 1
+
+    # poison the decode path: cached reads must not hit it
+    def boom(idx):
+        raise AssertionError("decode called for cached index")
+    inner = train._decoded_cache
+    img_cached = inner.get(3, boom)
+    np.testing.assert_array_equal(img_cached, img_before)
+
+    # a fresh wrapper over the same cache dir reuses the persisted data
+    train2, _, _ = load_dataset(
+        synthetic_dataset["dataset_dir"], synthetic_dataset["image_dir"],
+        mode="single_task", label="style")
+    train2 = wrap_with_cache(train2, str(tmp_path), "train")
+    assert train2._decoded_cache.valid[3] == 1
