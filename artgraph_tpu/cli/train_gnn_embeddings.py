@@ -36,13 +36,36 @@ def get_accuracy(log_probs: np.ndarray, labels: np.ndarray) -> float:
     return float((np.argmax(log_probs, axis=1) == labels).mean())
 
 
-def make_steps(model, tx):
+def make_steps(model, tx, mesh=None):
+    """Jitted full-graph train/eval steps.
+
+    With a mesh, edge arrays are sharded over the 'data' axis and segment
+    reductions psum over ICI (parallel.gnn_parallel); single-device otherwise.
+    """
+    if mesh is not None:
+        from artgraph_tpu.parallel.gnn_parallel import make_sharded_forward
+
+        forward = make_sharded_forward(model, mesh)
+
+        def apply_train(variables, x, edges, rng):
+            return forward(variables, x, edges, train=True,
+                           rngs={"dropout": rng})
+
+        def apply_eval(variables, x, edges):
+            return forward(variables, x, edges, train=False)
+    else:
+        def apply_train(variables, x, edges, rng):
+            return model.apply(variables, x, edges, train=True,
+                               rngs={"dropout": rng}, mutable=["batch_stats"])
+
+        def apply_eval(variables, x, edges):
+            return model.apply(variables, x, edges, train=False)
+
     @partial(jax.jit, donate_argnums=(0, 2))
     def train_step(params, batch_stats, opt_state, rng, x, edges, y):
         def loss_fn(p):
-            (emb, outs), mut = model.apply(
-                {"params": p, "batch_stats": batch_stats}, x, edges,
-                train=True, rngs={"dropout": rng}, mutable=["batch_stats"])
+            (emb, outs), mut = apply_train(
+                {"params": p, "batch_stats": batch_stats}, x, edges, rng)
             loss = nll_loss(outs[0]["artwork"], y)
             return loss, (outs[0]["artwork"], mut["batch_stats"])
 
@@ -54,8 +77,8 @@ def make_steps(model, tx):
 
     @jax.jit
     def eval_step(params, batch_stats, x, edges, y):
-        emb, outs = model.apply({"params": params, "batch_stats": batch_stats},
-                                x, edges, train=False)
+        emb, outs = apply_eval({"params": params, "batch_stats": batch_stats},
+                               x, edges)
         logp = outs[0]["artwork"]
         return nll_loss(logp, y), logp, emb["artwork"]
 
@@ -72,6 +95,9 @@ def main(argv=None):
     parser.add_argument('--epochs', type=int, default=50, help='Epochs.')
     parser.add_argument('--activation', type=str, default='relu',
                         help='Activation (relu|prelu).')
+    parser.add_argument('--data_parallel', type=int, default=0,
+                        help='Devices for edge-sharded message passing '
+                             '(0 = single device).')
     args = parser.parse_args(argv)
 
     graphs = {
@@ -87,6 +113,11 @@ def main(argv=None):
     data_validation = graphs["train_validation"]
     data_test = graphs["train_test"]
 
+    mesh = None
+    if args.data_parallel:
+        from artgraph_tpu.parallel import create_mesh
+        mesh = create_mesh(data=args.data_parallel)
+
     label = args.label
     model = HeteroSGNN(metadata=data_train.metadata,
                        operator=args.operator,
@@ -97,32 +128,45 @@ def main(argv=None):
                        n_layers=2,
                        dropout=0.4,
                        bn=True,
-                       skip=False)
+                       skip=False,
+                       axis_name='data' if mesh is not None else None)
 
     y = {name: jnp.asarray(g.labels[f"y_{label}"])
          for name, g in graphs.items()}
 
     rng = jax.random.PRNGKey(config.GLOBAL_SEED)
-    variables = model.init(rng, data_train.node_features, data_train.edges,
-                           train=False)
+    if mesh is not None:
+        from artgraph_tpu.parallel.gnn_parallel import (device_put_graph,
+                                                        init_variables)
+        variables = init_variables(model, rng, data_train.node_features,
+                                   data_train.edges, train=False)
+        placed = {name: device_put_graph(g, mesh)
+                  for name, g in graphs.items()}
+        feats = {name: p[0] for name, p in placed.items()}
+        edges = {name: p[1] for name, p in placed.items()}
+    else:
+        variables = model.init(rng, data_train.node_features,
+                               data_train.edges, train=False)
+        feats = {name: g.node_features for name, g in graphs.items()}
+        edges = {name: g.edges for name, g in graphs.items()}
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = adam(args.lr)
     opt_state = tx.init(params)
 
-    train_step, eval_step = make_steps(model, tx)
+    train_step, eval_step = make_steps(model, tx, mesh)
 
     train_loss = train_acc = 0.0
     for epoch in range(args.epochs):
         step_rng = jax.random.fold_in(rng, epoch)
         params, batch_stats, opt_state, loss, logp = train_step(
             params, batch_stats, opt_state, step_rng,
-            data_train.node_features, data_train.edges, y["train_train"])
+            feats["train_train"], edges["train_train"], y["train_train"])
         train_loss = float(loss)
         train_acc = get_accuracy(np.asarray(logp), np.asarray(y["train_train"]))
         val_loss, val_logp, _ = eval_step(
-            params, batch_stats, data_validation.node_features,
-            data_validation.edges, y["train_validation"])
+            params, batch_stats, feats["train_validation"],
+            edges["train_validation"], y["train_validation"])
         if epoch % 5 == 0:
             print(f'{label}_train_loss', round(train_loss, 4))
             print(f'{label}_train_accuracy', round(train_acc, 2) * 100)
@@ -132,10 +176,10 @@ def main(argv=None):
                                      np.asarray(y["train_validation"])), 2) * 100)
 
     val_loss, val_logp, _ = eval_step(
-        params, batch_stats, data_validation.node_features,
-        data_validation.edges, y["train_validation"])
+        params, batch_stats, feats["train_validation"],
+        edges["train_validation"], y["train_validation"])
     test_loss, test_logp, _ = eval_step(
-        params, batch_stats, data_test.node_features, data_test.edges,
+        params, batch_stats, feats["train_test"], edges["train_test"],
         y["train_test"])
     print(f'{label}_train_loss', round(train_loss, 4))
     print(f'{label}_train_accuracy', round(train_acc, 2) * 100)
@@ -152,8 +196,7 @@ def main(argv=None):
     # artwork embedding is the post-BN pre-activation hidden state.
     print('Saving embeddings...')
     _, _, emb_artwork = eval_step(
-        params, batch_stats, data_train_full.node_features,
-        data_train_full.edges, y["train"])
+        params, batch_stats, feats["train"], edges["train"], y["train"])
     emb = np.asarray(jax.device_get(emb_artwork))
     os.makedirs(config.EMBEDDINGS_DIR, exist_ok=True)
     save_embedding(os.path.join(config.EMBEDDINGS_DIR,

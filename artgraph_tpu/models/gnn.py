@@ -77,13 +77,14 @@ class SAGEConv(nn.Module):
     out = lin_l(mean_{j in N(i)} x_src[j]) + lin_r(x_dst[i])."""
 
     features: int
+    axis_name: str = None  # edge-sharded execution (see ops.segment)
 
     @nn.compact
     def __call__(self, x_src, x_dst, edge_index, num_dst: int):
         src, dst = edge_index[0], edge_index[1]
         # project-first (linear commutes with mean); bias added post-agg
         h = TypedLinear(self.features, use_bias=False, name="lin_l")(x_src)
-        agg = segment_mean(h[src], dst, num_dst)
+        agg = segment_mean(h[src], dst, num_dst, self.axis_name)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
         root = TypedLinear(self.features, use_bias=False, name="lin_r")(x_dst)
@@ -94,12 +95,13 @@ class GraphConv(nn.Module):
     """PyG GraphConv: out = lin_rel(sum_j x_src[j]) + lin_root(x_dst)."""
 
     features: int
+    axis_name: str = None
 
     @nn.compact
     def __call__(self, x_src, x_dst, edge_index, num_dst: int):
         src, dst = edge_index[0], edge_index[1]
         h = TypedLinear(self.features, use_bias=False, name="lin_rel")(x_src)
-        agg = segment_sum(h[src], dst, num_dst)
+        agg = segment_sum(h[src], dst, num_dst, self.axis_name)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
         root = TypedLinear(self.features, use_bias=False, name="lin_root")(x_dst)
@@ -112,6 +114,7 @@ class GATConv(nn.Module):
 
     features: int
     negative_slope: float = 0.2
+    axis_name: str = None
 
     @nn.compact
     def __call__(self, x_src, x_dst, edge_index, num_dst: int):
@@ -126,10 +129,12 @@ class GATConv(nn.Module):
         alpha_src = (h_src @ att_src)[:, 0]
         alpha_dst = (h_dst @ att_dst)[:, 0]
 
-        logits = nn.leaky_relu(alpha_src[src] + alpha_dst[dst],
+        safe_dst = jnp.minimum(dst, num_dst - 1)  # padded edges gather safely
+        logits = nn.leaky_relu(alpha_src[src] + alpha_dst[safe_dst],
                                negative_slope=self.negative_slope)
-        att = segment_softmax(logits, dst, num_dst)
-        out = segment_sum(att[:, None] * h_src[src], dst, num_dst)
+        att = segment_softmax(logits, dst, num_dst, self.axis_name)
+        out = segment_sum(att[:, None] * h_src[src], dst, num_dst,
+                          self.axis_name)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
         return out + bias
@@ -169,13 +174,14 @@ class GINConv(nn.Module):
 
     features: int
     eps: float = 0.0
+    axis_name: str = None
 
     @nn.compact
     def __call__(self, x_src, x_dst, edge_index, num_dst: int):
         src, dst = edge_index[0], edge_index[1]
         h_src = TypedLinear(self.features, use_bias=False, name="lin_src")(x_src)
         h_dst = TypedLinear(self.features, use_bias=False, name="lin_dst")(x_dst)
-        agg = segment_sum(h_src[src], dst, num_dst)
+        agg = segment_sum(h_src[src], dst, num_dst, self.axis_name)
         return nn.Dense(self.features, name="update")(
             (1.0 + self.eps) * h_dst + agg)
 
@@ -213,6 +219,7 @@ class HeteroSGNN(nn.Module):
     dropout: float = 0.4
     bn: bool = True
     skip: bool = False
+    axis_name: str = None  # set to a mesh axis for edge-sharded execution
 
     def _hetero_conv(self, name: str, features: int, x: Dict, edges: Dict):
         """One to_hetero layer: per-relation conv, sum-aggregate per dst type."""
@@ -220,7 +227,7 @@ class HeteroSGNN(nn.Module):
         conv_cls = OPERATORS[self.operator]
         out: Dict[str, list] = {t: [] for t in node_types}
         for (src_t, rel, dst_t) in edge_types:
-            conv = conv_cls(features,
+            conv = conv_cls(features, axis_name=self.axis_name,
                             name=f"{name}__{src_t}__{rel}__{dst_t}")
             msg = conv(x[src_t], x[dst_t], edges[(src_t, rel, dst_t)],
                        num_dst=_rows(x[dst_t]))

@@ -1,0 +1,95 @@
+"""Edge-sharded full-graph GNN execution over a device mesh.
+
+The GNN stage's hot loop is segment-op message passing over every edge of the
+KG (ref: train_gnn_embeddings.py:39-52 runs it single-device). Here the edge
+arrays of every relation are zero-padded to a multiple of the mesh's data-axis
+size and sharded across devices; node tensors (features, parameters, BN
+state) stay replicated. Inside `shard_map`, each device reduces its edge
+shard locally and the partial aggregates combine with psum/pmax over ICI
+(axis-aware variants in artgraph_tpu.ops.segment). Padded edges carry
+dst = num_dst (out of range) — XLA scatter semantics drop them.
+
+This is the SURVEY.md §2.2(b) "sharded full-graph GNN step" component; the
+model itself is unchanged (HeteroSGNN(axis_name='data')).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from artgraph_tpu.data.artgraph import HeteroGraph
+
+
+def pad_and_shard_edges(graph: HeteroGraph, num_shards: int) -> Dict:
+    """Pad every relation's [2, E] edge array to a multiple of num_shards.
+
+    Padding edges use src=0 and dst=num_dst(src type irrelevant): the
+    out-of-range destination makes every segment reduction drop them.
+    """
+    edges = {}
+    for (src_t, rel, dst_t), edge_index in graph.edges.items():
+        e = edge_index.shape[1]
+        padded = (e + num_shards - 1) // num_shards * num_shards
+        if padded != e:
+            num_dst = graph.num_nodes[dst_t]
+            pad = np.zeros((2, padded - e), dtype=edge_index.dtype)
+            pad[1, :] = num_dst  # dropped by scatter
+            edge_index = np.concatenate([edge_index, pad], axis=1)
+        edges[(src_t, rel, dst_t)] = edge_index
+    return edges
+
+
+def init_variables(model, rng, x_dict, edges, **kwargs):
+    """Initialize a sharded-model's variables OUTSIDE shard_map.
+
+    axis_name doesn't affect parameter shapes, but collectives are unbound
+    outside shard_map — init with an axis-free clone instead.
+    """
+    return model.clone(axis_name=None).init(rng, x_dict, edges, **kwargs)
+
+
+def make_sharded_forward(model, mesh: Mesh, axis: str = "data"):
+    """Build forward(variables, x_dict, edges) running edge-sharded.
+
+    `model` must be constructed with axis_name=axis. Returns a function whose
+    outputs are fully replicated. Differentiable (psum transposes correctly),
+    so it can sit inside a jitted train step's loss function.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    edge_spec = P(None, axis)  # shard the E dimension of [2, E]
+
+    def forward(variables, x_dict, edges, train: bool = False, rngs=None):
+        edge_specs = jax.tree_util.tree_map(lambda _: edge_spec, edges)
+
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(), P(), edge_specs),
+            out_specs=P(),
+            check_rep=False)
+        def sharded(variables, x_dict, edges_shard):
+            if train:
+                return model.apply(variables, x_dict, edges_shard, train=True,
+                                   rngs=rngs, mutable=["batch_stats"])
+            return model.apply(variables, x_dict, edges_shard, train=False)
+
+        return sharded(variables, x_dict, edges)
+
+    return forward
+
+
+def device_put_graph(graph: HeteroGraph, mesh: Mesh, axis: str = "data"):
+    """Place a graph on the mesh: node features replicated, edges sharded
+    (pre-padded via pad_and_shard_edges)."""
+    num_shards = mesh.shape[axis]
+    edges = pad_and_shard_edges(graph, num_shards)
+    edge_sharding = NamedSharding(mesh, P(None, axis))
+    replicated = NamedSharding(mesh, P())
+    placed_edges = {k: jax.device_put(v, edge_sharding)
+                    for k, v in edges.items()}
+    placed_feats = jax.device_put(graph.node_features, replicated)
+    return placed_feats, placed_edges
