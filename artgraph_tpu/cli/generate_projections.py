@@ -9,7 +9,6 @@ dataset/{validation,test}/embeddings/<proj_name> in the reference .pt format.
 """
 from __future__ import annotations
 
-import os
 from os import listdir
 from os.path import isfile, join
 

@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import os
 
-import jax.numpy as jnp
-
 from artgraph_tpu import config
 from artgraph_tpu.cli._common import (
     NUM_CLASSES,

@@ -24,7 +24,6 @@ from artgraph_tpu.cli._common import (
     make_mesh,
     reload_state,
     run_epoch_loop,
-    single_task_loss,
 )
 from artgraph_tpu.data import get_class_weights, load_dataset_multimodal
 from artgraph_tpu.models import ContextNetSingleTask, MultiModalSingleTask
