@@ -371,4 +371,10 @@ def load_reference_checkpoint(model_name: str, path: str) -> dict:
     raw = torch.load(path, map_location="cpu", weights_only=False)
     sd = {k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
           for k, v in raw.items()}
-    return import_model_state(model_name, sd)
+    try:
+        return import_model_state(model_name, sd)
+    except KeyError as e:
+        raise KeyError(
+            f"checkpoint {path!r} does not match model {model_name!r}: "
+            f"missing tensor {e.args[0]!r} (checkpoint has "
+            f"{len(sd)} tensors, e.g. {sorted(sd)[:3]})") from e
