@@ -25,10 +25,19 @@ Dtype = Any
 
 
 class Attention(nn.Module):
-    """timm-style MHA: fused qkv (bias), scaled dot-product, output proj."""
+    """timm-style MHA: fused qkv (bias), scaled dot-product, output proj.
+
+    A fused Pallas kernel exists (ops.attention.fused_attention; enable with
+    use_pallas=True) but measured SLOWER than XLA at this geometry on v5e
+    (689 vs 742 img/s full ViT step): at N=197/D=64 the per-(batch, head)
+    matmuls under-fill the MXU and the layout transposes cost more than the
+    avoided [B, H, N, N] HBM traffic. XLA's fusion wins; kept for larger
+    sequence lengths.
+    """
 
     num_heads: int
     dtype: Dtype = jnp.bfloat16
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -40,7 +49,12 @@ class Attention(nn.Module):
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
-        out = jax.nn.dot_product_attention(q, k, v)  # scale=head_dim**-0.5
+        if self.use_pallas and jax.devices()[0].platform != "cpu":
+            from artgraph_tpu.ops.attention import fused_attention
+
+            out = fused_attention(q, k, v)
+        else:
+            out = jax.nn.dot_product_attention(q, k, v)
         out = out.reshape(B, N, C)
         return dense(C, name="proj")(out)
 
