@@ -27,12 +27,12 @@ Dtype = Any
 class Attention(nn.Module):
     """timm-style MHA: fused qkv (bias), scaled dot-product, output proj.
 
-    A fused Pallas kernel exists (ops.attention.fused_attention; enable with
-    use_pallas=True) but measured SLOWER than XLA at this geometry on v5e
-    (689 vs 742 img/s full ViT step): at N=197/D=64 the per-(batch, head)
-    matmuls under-fill the MXU and the layout transposes cost more than the
-    avoided [B, H, N, N] HBM traffic. XLA's fusion wins; kept for larger
-    sequence lengths.
+    A fused Pallas kernel exists (ops.attention.fused_attention, enable via
+    use_pallas): standalone it beats XLA's sdpa by 36% at this geometry
+    (batched-heads VMEM-resident kernel), but in the full model the
+    [B,N,H,D]<->[B,H,N,D] boundary transposes eat the win (740 vs 746 img/s
+    on v5e), so XLA stays the default. The kernel pays off at longer
+    sequence lengths where the [B,H,N,N] HBM traffic dominates.
     """
 
     num_heads: int
@@ -79,6 +79,7 @@ class Block(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.bfloat16
+    use_pallas_attention: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -88,7 +89,8 @@ class Block(nn.Module):
         C = x.shape[-1]
         ln = partial(nn.LayerNorm, epsilon=1e-6, dtype=jnp.float32,
                      param_dtype=jnp.float32)
-        x = x + Attention(self.num_heads, dtype=self.dtype, name="attn")(
+        x = x + Attention(self.num_heads, dtype=self.dtype,
+                          use_pallas=self.use_pallas_attention, name="attn")(
             ln(name="norm1")(x).astype(self.dtype)).astype(x.dtype)
         x = x + Mlp(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp")(
             ln(name="norm2")(x).astype(self.dtype)).astype(x.dtype)
@@ -104,6 +106,7 @@ class ViT(nn.Module):
     num_heads: int = 12
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.bfloat16
+    use_pallas_attention: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, pool: bool = True):
@@ -129,6 +132,7 @@ class ViT(nn.Module):
 
         for i in range(self.depth):
             x = Block(self.num_heads, self.mlp_ratio, dtype=self.dtype,
+                      use_pallas_attention=self.use_pallas_attention,
                       name=f"block{i}")(x)
 
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,

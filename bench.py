@@ -104,6 +104,72 @@ def bench_model(model_name: str, batch: int, steps: int, image_size: int = 224):
     return batch / step_time
 
 
+def bench_gnn(num_artworks: int = 100_000, edges_per_rel: int = 1_000_000,
+              steps: int = 10) -> float:
+    """Full-batch hetero-GNN train-step throughput (edges/sec) on a synthetic
+    ArtGraph-shaped KG (GAT, hidden 128, 2 layers — the train_gnn_embeddings
+    configuration)."""
+    import optax
+
+    from artgraph_tpu.data.artgraph import HeteroGraph, OneHot
+    from artgraph_tpu.models.gnn import HeteroSGNN
+    from artgraph_tpu.train import nll_loss
+
+    rng = np.random.default_rng(0)
+    num_nodes = {"artwork": num_artworks, "style": 32, "genre": 18,
+                 "artist": 5_000, "tag": 10_000}
+    feats = {"artwork": rng.normal(size=(num_artworks, 128)).astype(np.float32),
+             **{t: OneHot(n) for t, n in num_nodes.items() if t != "artwork"}}
+    rels = [("artwork", "style_rel", "style"), ("artwork", "genre_rel", "genre"),
+            ("artwork", "author_rel", "artist"), ("artwork", "about_rel", "tag")]
+    edges = {}
+    for (h, r, t) in rels:
+        e = np.stack([rng.integers(0, num_nodes[h], edges_per_rel),
+                      rng.integers(0, num_nodes[t], edges_per_rel)]).astype(np.int32)
+        edges[(h, r, t)] = e
+        edges[(t, f"rev_{r}", h)] = e[::-1].copy()
+    graph = HeteroGraph(node_features=feats, num_nodes=num_nodes, edges=edges,
+                        labels={"y_style": rng.integers(0, 32, num_artworks).astype(np.int32)})
+
+    model = HeteroSGNN(metadata=graph.metadata, operator="GATConv",
+                       hidden_channels=128, out_channels=32, n_layers=2,
+                       dropout=0.4, bn=True)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(key, graph.node_features, graph.edges, train=False)
+    params, stats = variables["params"], variables["batch_stats"]
+    tx = optax.adam(0.01)
+    opt = tx.init(params)
+    y = jnp.asarray(graph.labels["y_style"])
+
+    @jax.jit
+    def step(params, stats, opt, r):
+        def loss_fn(p):
+            (emb, outs), mut = model.apply(
+                {"params": p, "batch_stats": stats}, graph.node_features,
+                graph.edges, train=True, rngs={"dropout": r},
+                mutable=["batch_stats"])
+            return nll_loss(outs[0]["artwork"], y), mut["batch_stats"]
+        (loss, ns), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt2 = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), ns, opt2, loss
+
+    def run(n):
+        nonlocal params, stats, opt
+        t0 = time.perf_counter()
+        for i in range(n):
+            params, stats, opt, loss = step(params, stats, opt,
+                                            jax.random.fold_in(key, i))
+        np.asarray(loss)
+        return time.perf_counter() - t0
+
+    total_edges = sum(e.shape[1] for e in edges.values())
+    run(2)
+    t1 = run(max(steps // 5, 2))
+    t2 = run(steps)
+    step_time = (t2 - t1) / (steps - max(steps // 5, 2))
+    return total_edges / step_time
+
+
 def measure_torch_cpu(batch: int = 8, steps: int = 5) -> float:
     import sys
     sys.path.insert(0, "tests")
@@ -130,12 +196,23 @@ def main():
     parser.add_argument("--steps", type=int, default=30)
     parser.add_argument("--measure-torch", action="store_true",
                         help="re-measure the torch-CPU baseline instead")
+    parser.add_argument("--gnn", action="store_true",
+                        help="benchmark the full-batch hetero-GNN step instead")
     args = parser.parse_args()
 
     if args.measure_torch:
         print(json.dumps({"metric": "torch_cpu_resnet50_fwd_bwd",
                           "value": round(measure_torch_cpu(), 3),
                           "unit": "images/sec", "vs_baseline": 1.0}))
+        return
+
+    if args.gnn:
+        eps = bench_gnn()
+        print(json.dumps({"metric": "hetero_gnn_train_edges_per_sec",
+                          "value": round(eps, 0), "unit": "edges/sec",
+                          "vs_baseline": 1.0,
+                          "extras": {"operator": "GATConv", "hidden": 128,
+                                     "layers": 2, "graph": "synthetic 8M edges"}}))
         return
 
     resnet_ips = bench_model("resnet50", args.batch, args.steps)
