@@ -96,12 +96,19 @@ def bench_model(model_name: str, batch: int, steps: int, image_size: int = 224):
     _, params, batch_stats, opt_state = run(2, params, batch_stats, opt_state)
 
     # two-point measurement cancels the fixed per-chain dispatch/transfer
-    # overhead: slope of wall-time vs step count is the true step time
+    # overhead: slope of wall-time vs step count is the true step time.
+    # Two trials, best taken: the tunnel adds occasional multi-ms stalls
+    # (~8% run-to-run variance otherwise).
     n1 = max(steps // 5, 2)
-    t1, params, batch_stats, opt_state = run(n1, params, batch_stats, opt_state)
-    t2, params, batch_stats, opt_state = run(steps, params, batch_stats, opt_state)
-    step_time = (t2 - t1) / (steps - n1)
-    return batch / step_time
+    best = 0.0
+    for _ in range(2):
+        t1, params, batch_stats, opt_state = run(n1, params, batch_stats,
+                                                 opt_state)
+        t2, params, batch_stats, opt_state = run(steps, params, batch_stats,
+                                                 opt_state)
+        step_time = (t2 - t1) / (steps - n1)
+        best = max(best, batch / step_time)
+    return best
 
 
 def bench_gnn(num_artworks: int = 100_000, edges_per_rel: int = 1_000_000,
