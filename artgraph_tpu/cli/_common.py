@@ -75,16 +75,27 @@ def get_base_arguments() -> argparse.ArgumentParser:
                         help='Directory for the decoded-uint8 image cache '
                              '(first epoch decodes once; later epochs read '
                              'at memory bandwidth).')
+    parser.add_argument('--resident_data', action='store_true',
+                        help='Keep the decoded dataset resident in device '
+                             'HBM and gather batches on device (zero bulk '
+                             'H2D per step). Needs the uint8 dataset + '
+                             'embeddings to fit in HBM (~150KB/image).')
     return parser
 
 
 def make_loaders(datasets: Dict, batch_size: int, num_workers: int,
-                 seed: int = config.GLOBAL_SEED, cache_dir: str = None):
+                 seed: int = config.GLOBAL_SEED, cache_dir: str = None,
+                 resident: bool = False):
     """Reference loader kwargs (ref: train_baseline.py:23-25)."""
     if cache_dir:
         from artgraph_tpu.data.cache import wrap_with_cache
         datasets = {name: wrap_with_cache(ds, cache_dir, name)
                     for name, ds in datasets.items()}
+    if resident:
+        from artgraph_tpu.data.resident import ResidentLoader
+        return {name: ResidentLoader(ds, batch_size=batch_size, shuffle=True,
+                                     drop_last=False, seed=seed)
+                for name, ds in datasets.items()}
     return prepare_dataloader(datasets, batch_size=batch_size,
                               num_workers=num_workers, shuffle=True,
                               drop_last=False, pin_memory=True, seed=seed)
@@ -171,6 +182,10 @@ def evaluate_single_task(trainer, state, loader, num_classes: int,
         logits.append(pick(out_batch, output_index))
         lab = rest[-1]  # labels are the last non-mask batch component
         if lab.ndim == 2:  # multitask [n, 2] -> pick the task's column
+            if task_col is None:
+                raise ValueError(
+                    "multitask labels need suffix '_style' or '_genre' to "
+                    "select a column (got suffix=%r)" % (suffix,))
             lab = lab[:, task_col]
         labels.append(lab)
     scores = np.concatenate(logits)

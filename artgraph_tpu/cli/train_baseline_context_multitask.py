@@ -43,8 +43,8 @@ def main(argv=None):
     parser.add_argument('--emb_type', type=str, default='artwork',
                         help='Embedding type. Options: (artwork|style|genre).')
     parser.add_argument('--emb_train', type=str,
-                        default='gnn_artwork_genre_embs_graph.pt',
-                        help='Embedding train file.')
+                        default='node2vec_artwork_embs_graph.pt',
+                        help='Embedding train file.')  # ref default, :16
     args = parser.parse_args(argv)
     assert args.net in NETS
 
@@ -53,7 +53,8 @@ def main(argv=None):
         mode='multi_task', emb_type=args.emb_type, emb_train=args.emb_train)
     loaders = make_loaders({'train': dataset_train, 'valid': dataset_valid,
                             'test': dataset_test}, args.batch, args.num_workers,
-                           cache_dir=args.image_cache)
+                           cache_dir=args.image_cache,
+                           resident=args.resident_data)
 
     model_cls, model_name = NETS[args.net]
     model = model_cls(emb_size=config.EMB_SIZE, num_classes=NUM_CLASSES)

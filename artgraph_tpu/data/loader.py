@@ -95,8 +95,14 @@ class DataLoader:
     def __iter__(self) -> Iterator[Tuple[np.ndarray, ...]]:
         self._epoch += 1
         executor = ThreadPoolExecutor(max_workers=self.num_workers)
+        get_batch = getattr(self.dataset, "get_batch", None)
 
         def fetch(indices):
+            if get_batch is not None:
+                # vectorized assembly: one fancy-index gather per component
+                # (decoded-cache mmap slice for images) instead of a Python
+                # __getitem__ + pandas .iloc round-trip per item
+                return tuple(np.asarray(c) for c in get_batch(indices))
             return _collate([self.dataset[int(i)] for i in indices])
 
         try:
@@ -111,7 +117,10 @@ class DataLoader:
             for fut in pending:
                 yield self._finalize(fut.result())
         finally:
-            executor.shutdown(wait=False)
+            # cancel queued decodes too: an abandoned iterator (e.g. a
+            # peek-one-batch init) must not leave workers competing with the
+            # real epoch on this 1-core host
+            executor.shutdown(wait=False, cancel_futures=True)
 
     def _finalize(self, batch):
         if not self.pad_last:
@@ -140,6 +149,36 @@ def prepare_dataloader(datasets: Dict[str, object], batch_size: int,
     return loaders
 
 
+def pipeline(iterator, size: int = 2):
+    """Run `iterator` in a background thread, `size` items ahead.
+
+    Generic producer/consumer decoupling: whatever work the iterator does per
+    item (batch assembly, device_put) overlaps with the consumer's compute.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+    err = []
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # surfaced in consumer
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
 def device_prefetch(iterator, shardings=None, size: int = 2):
     """Move batches to device(s) `size` steps ahead of consumption.
 
@@ -157,25 +196,4 @@ def device_prefetch(iterator, shardings=None, size: int = 2):
             return tuple(jax.device_put(b, s) for b, s in zip(batch, shardings))
         return tuple(jax.device_put(b, shardings) for b in batch)
 
-    q: "queue.Queue" = queue.Queue(maxsize=size)
-    sentinel = object()
-    err = []
-
-    def producer():
-        try:
-            for batch in iterator:
-                q.put(put(batch))
-        except BaseException as e:  # surfaced in consumer
-            err.append(e)
-        finally:
-            q.put(sentinel)
-
-    thread = threading.Thread(target=producer, daemon=True)
-    thread.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    return pipeline(map(put, iterator), size=size)

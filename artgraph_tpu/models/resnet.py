@@ -13,6 +13,8 @@ artgraph_tpu.checkpointing.torch_interop.
 """
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from functools import partial
 from typing import Any, Sequence
 
@@ -21,6 +23,26 @@ import jax
 import jax.numpy as jnp
 
 Dtype = Any
+
+# Trace-time channel for the batch-validity mask: trainers normalize losses
+# by the mask, and BN statistics must be masked the same way or the ragged
+# final batch's zero-padded rows skew every BN layer's mean/var (the
+# reference trains on a smaller UNPADDED final batch — masked stats over the
+# valid rows are numerically identical to that). A contextvar (rather than a
+# mask argument on every Module) keeps the 14 model signatures unchanged;
+# the mask tracer is captured during the same jit trace, which is sound.
+_BATCH_MASK: contextvars.ContextVar = contextvars.ContextVar(
+    "bn_batch_mask", default=None)
+
+
+@contextlib.contextmanager
+def bn_batch_mask(mask):
+    """Make `mask` [B] visible to every MixedBatchNorm traced in this scope."""
+    token = _BATCH_MASK.set(mask)
+    try:
+        yield
+    finally:
+        _BATCH_MASK.reset(token)
 
 
 class MixedBatchNorm(nn.Module):
@@ -52,17 +74,35 @@ class MixedBatchNorm(nn.Module):
         if train:
             xf = x.astype(jnp.float32)
             axes = tuple(range(x.ndim - 1))
+            mask = _BATCH_MASK.get()
+            spatial = 1
+            for d in x.shape[1:-1]:
+                spatial *= d
             # one-pass moments (cuDNN-style): E[x^2] - E[x]^2 in f32. Safe for
             # post-conv activations (near-zero mean); a second pass over the
             # activations costs ~8% of the ResNet step.
-            mean = jnp.mean(xf, axis=axes)
-            mean_sq = jnp.mean(jnp.square(xf), axis=axes)
+            if mask is not None:
+                # Masked statistics over the valid rows only (ragged final
+                # batch): identical to torch stats over the unpadded batch.
+                m = mask.astype(jnp.float32).reshape(
+                    (-1,) + (1,) * (x.ndim - 1))
+                n = jnp.sum(mask.astype(jnp.float32)) * spatial
+                mean = jnp.sum(xf * m, axis=axes) / n
+                mean_sq = jnp.sum(jnp.square(xf) * m, axis=axes) / n
+            else:
+                n = jnp.asarray(x.shape[0] * spatial, jnp.float32)
+                mean = jnp.mean(xf, axis=axes)
+                mean_sq = jnp.mean(jnp.square(xf), axis=axes)
             var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
             if not self.is_initializing():
+                # torch stores the UNBIASED (n/(n-1)) variance in running_var
+                # while normalizing with the biased one — match exactly so
+                # exported .pt checkpoints carry reference semantics.
+                unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
                 ra_mean.value = (self.momentum * ra_mean.value
                                  + (1 - self.momentum) * mean)
                 ra_var.value = (self.momentum * ra_var.value
-                                + (1 - self.momentum) * var)
+                                + (1 - self.momentum) * unbiased)
         else:
             mean, var = ra_mean.value, ra_var.value
 

@@ -22,13 +22,18 @@ the true per-batch example counts (ref: train_baseline.py:68-70).
 """
 from __future__ import annotations
 
+import contextlib
 from typing import Callable, Dict, Optional, Tuple
+
+_NULL_CTX = contextlib.nullcontext()
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
+from artgraph_tpu.data.loader import pipeline
+from artgraph_tpu.models.resnet import bn_batch_mask
 from artgraph_tpu.ops.preprocess import normalize_images
 from artgraph_tpu.parallel.mesh import batch_sharding, replicated
 from artgraph_tpu.train.train_state import TrainState
@@ -64,6 +69,7 @@ class Trainer:
         self.mesh = mesh
         self.base_rng = jax.random.PRNGKey(seed)
         self._train_step = None
+        self._train_step_masked = None  # ragged-final-batch variant
         self._eval_step = None
         self._host_step = 0  # host-side twin of state.step: keeps rng
                              # derivation off the device (no sync per step)
@@ -100,7 +106,7 @@ class Trainer:
         return v
 
     # ------------------------------------------------------------------
-    def _build_train_step(self, has_bn: bool):
+    def _build_train_step(self, has_bn: bool, masked: bool = False):
         model = self.model
 
         def step_fn(state: TrainState, rng, *batch):
@@ -122,8 +128,15 @@ class Trainer:
                 loss, metrics = self.compute_loss(outputs, batch)
                 return loss, (metrics, new_stats)
 
-            (loss, (metrics, new_stats)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params)
+            # The ragged final batch's BN statistics must ignore the padded
+            # rows (the reference trains on a smaller unpadded batch). Full
+            # batches use the unmasked variant — zero overhead on the hot
+            # path; this masked step compiles lazily, at most once.
+            ctx = (bn_batch_mask(batch[-1]) if (masked and has_bn)
+                   else _NULL_CTX)
+            with ctx:
+                (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
             updates, opt_state = self.tx.update(grads, state.opt_state,
                                                 state.params)
             params = optax.apply_updates(state.params, updates)
@@ -159,6 +172,20 @@ class Trainer:
         sharding = batch_sharding(self.mesh)
         return tuple(jax.device_put(b, sharding) for b in batch)
 
+    def _prefetched(self, loader, size: int = 2):
+        """Background-thread batch assembly + H2D, overlapped with compute.
+
+        Yields (n_valid, batch_size, device_batch): the mask statistics are
+        computed on the HOST copy in the producer so the consumer never
+        forces a device->host sync per step.
+        """
+        def gen():
+            for batch in loader:
+                mask = batch[-1]
+                yield (float(mask.sum()), int(mask.shape[0]),
+                       self._put(batch))
+        return pipeline(gen(), size=size)
+
     def train_epoch(self, state: TrainState, loader,
                     epoch: int = 0) -> Tuple[TrainState, Dict[str, float]]:
         has_bn = bool(state.batch_stats)
@@ -170,12 +197,20 @@ class Trainer:
         # platforms costs ~10-30ms each and serializes dispatch).
         totals: Dict[str, jnp.ndarray] = {}
         total_examples = 0.0
-        for batch in loader:
-            mask = batch[-1]
-            n = float(mask.sum())
+        for n, bsize, batch in self._prefetched(loader):
             rng = jax.random.fold_in(self.base_rng, self._host_step)
             self._host_step += 1
-            state, metrics = self._train_step(state, rng, *self._put(batch))
+            if has_bn and n < bsize:
+                # ragged final batch: masked BN statistics (see
+                # _build_train_step); decided host-side so full batches
+                # never pay for the mask multiply
+                if self._train_step_masked is None:
+                    self._train_step_masked = self._build_train_step(
+                        has_bn, masked=True)
+                step = self._train_step_masked
+            else:
+                step = self._train_step
+            state, metrics = step(state, rng, *batch)
             # reference accumulation: loss.item() * batch_size summed
             totals["loss"] = totals.get("loss", 0.0) + metrics["loss"] * n
             for k, v in metrics.items():
@@ -203,10 +238,8 @@ class Trainer:
         totals: Dict[str, jnp.ndarray] = {}
         total_examples = 0.0
         collected = []
-        for batch in loader:
-            mask = batch[-1]
-            n = float(mask.sum())
-            outputs, metrics = self._eval_step(state, *self._put(batch))
+        for n, bsize, batch in self._prefetched(loader):
+            outputs, metrics = self._eval_step(state, *batch)
             totals["loss"] = totals.get("loss", 0.0) + metrics["loss"] * n
             for k, v in metrics.items():
                 if k != "loss":
