@@ -45,7 +45,8 @@ def main(argv=None):
         mode='single_task', label=args.label, transform_type=args.architecture)
     loaders = make_loaders({'train': dataset_train, 'valid': dataset_valid,
                             'test': dataset_test}, args.batch, args.num_workers,
-                           cache_dir=args.image_cache)
+                           cache_dir=args.image_cache,
+                           resident=args.resident_data)
 
     num_class = NUM_CLASSES[args.label]
     if args.architecture == 'resnet':

@@ -57,7 +57,8 @@ def main(argv=None):
         emb_train=args.emb_train)
     loaders = make_loaders({'train': dataset_train, 'valid': dataset_valid,
                             'test': dataset_test}, args.batch, args.num_workers,
-                           cache_dir=args.image_cache)
+                           cache_dir=args.image_cache,
+                           resident=args.resident_data)
 
     num_class = NUM_CLASSES[args.label]
     model_cls, model_name = NETS[args.net]

@@ -42,7 +42,8 @@ def main(argv=None):
         mode='multi_task', transform_type=args.architecture)
     loaders = make_loaders({'train': dataset_train, 'valid': dataset_valid,
                             'test': dataset_test}, args.batch, args.num_workers,
-                           cache_dir=args.image_cache)
+                           cache_dir=args.image_cache,
+                           resident=args.resident_data)
 
     if args.architecture == 'resnet':
         model = ResnetMultiTask(NUM_CLASSES, args.dropout)

@@ -54,7 +54,8 @@ def main(argv=None):
         emb_valid=args.emb_valid, emb_test=args.emb_test)
     loaders = make_loaders({'train': dataset_train, 'valid': dataset_valid,
                             'test': dataset_test}, args.batch, args.num_workers,
-                           cache_dir=args.image_cache)
+                           cache_dir=args.image_cache,
+                           resident=args.resident_data)
 
     num_class = NUM_CLASSES[args.label]
     model = NewMultiModalSingleTask(emb_size=config.EMB_SIZE,

@@ -69,7 +69,8 @@ def main(argv=None):
         transform_type=args.architecture)
     loaders = make_loaders({'train': dataset_train, 'valid': dataset_valid,
                             'test': dataset_test}, args.batch, args.num_workers,
-                           cache_dir=args.image_cache)
+                           cache_dir=args.image_cache,
+                           resident=args.resident_data)
 
     if args.architecture == 'resnet':
         model = NewMultiModalMultiTask(emb_size=config.EMB_SIZE,

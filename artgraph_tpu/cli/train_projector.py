@@ -39,7 +39,8 @@ def main(argv=None):
         node_embedding=args.node_embedding, emb_type=args.emb_type)
     loaders = make_loaders({'train': dataset_train, 'valid': dataset_valid,
                             'test': dataset_test}, args.batch, args.num_workers,
-                           cache_dir=args.image_cache)
+                           cache_dir=args.image_cache,
+                           resident=args.resident_data)
 
     if args.architecture == 'resnet':
         model = LabelProjector(emb_size=config.EMB_SIZE)

@@ -47,6 +47,27 @@ class _ImageDataset:
         path = os.path.join(self.image_dir, self.dataset.iloc[idx, 0])
         return self.prepare_image(path)
 
+    # -- vectorized batch assembly -------------------------------------
+    # Per-item __getitem__ costs ~100us of pandas .iloc + Python per image;
+    # at batch 128 that alone caps the epoch rate far below the device step
+    # rate. get_batch() gathers a whole batch with numpy fancy indexing —
+    # one mmap slice from the decoded cache plus vectorized label lookup.
+
+    def _images_batch(self, idx: np.ndarray) -> np.ndarray:
+        cache = getattr(self, "_decoded_cache", None)
+        if cache is not None and cache.valid[idx].all():
+            return cache.data[idx]  # single vectorized gather (copy)
+        return np.stack([self._image(int(i)) for i in idx])
+
+    def _col_i32(self, col: int) -> np.ndarray:
+        cols = getattr(self, "_col_arrays", None)
+        if cols is None:
+            cols = self._col_arrays = {}
+        arr = cols.get(col)
+        if arr is None:
+            arr = cols[col] = self.dataset.iloc[:, col].to_numpy(np.int32)
+        return arr
+
 
 class ArtGraphSingleTask(_ImageDataset):
     """(image, label) items (ref: src/data/data.py:81-102).
@@ -63,6 +84,10 @@ class ArtGraphSingleTask(_ImageDataset):
         image = self._image(idx)
         label_id = int(self.dataset.iloc[idx, 1])
         return image, label_id
+
+    def get_batch(self, indices):
+        idx = np.asarray(indices, dtype=np.int64)
+        return self._images_batch(idx), self._col_i32(1)[idx]
 
 
 class ArtGraphMultiTask(_ImageDataset):
@@ -82,6 +107,12 @@ class ArtGraphMultiTask(_ImageDataset):
         style_id = int(self.dataset.iloc[idx, 1])
         genre_id = int(self.dataset.iloc[idx, 2])
         return image, [style_id, genre_id]
+
+    def get_batch(self, indices):
+        idx = np.asarray(indices, dtype=np.int64)
+        labels = np.stack((self._col_i32(1)[idx], self._col_i32(2)[idx]),
+                          axis=1)
+        return self._images_batch(idx), labels
 
 
 class MultiModalArtgraphSingleTask(_ImageDataset):
@@ -111,6 +142,15 @@ class MultiModalArtgraphSingleTask(_ImageDataset):
             embedding = self.embeddings[idx]
         return image, embedding, label_id
 
+    def get_batch(self, indices):
+        idx = np.asarray(indices, dtype=np.int64)
+        labels = self._col_i32(1)[idx]
+        if self.type == "train" and self.emb_type != "artwork":
+            emb = self.embeddings[labels]
+        else:
+            emb = self.embeddings[idx]
+        return self._images_batch(idx), emb, labels
+
 
 class MultiModalArtgraphMultiTask(_ImageDataset):
     """(image, embedding, [style, genre]) items
@@ -132,6 +172,12 @@ class MultiModalArtgraphMultiTask(_ImageDataset):
         style_id = int(self.dataset.iloc[idx, 1])
         genre_id = int(self.dataset.iloc[idx, 2])
         return image, self.embeddings[idx], [style_id, genre_id]
+
+    def get_batch(self, indices):
+        idx = np.asarray(indices, dtype=np.int64)
+        labels = np.stack((self._col_i32(1)[idx], self._col_i32(2)[idx]),
+                          axis=1)
+        return self._images_batch(idx), self.embeddings[idx], labels
 
 
 class LabelProjectionDataset(_ImageDataset):
@@ -155,6 +201,14 @@ class LabelProjectionDataset(_ImageDataset):
         else:
             emb = self.embeddings[label_id]
         return image, emb
+
+    def get_batch(self, indices):
+        idx = np.asarray(indices, dtype=np.int64)
+        if self.emb_type == "artwork":
+            emb = self.embeddings[idx]
+        else:
+            emb = self.embeddings[self._col_i32(1)[idx]]
+        return self._images_batch(idx), emb
 
 
 class NewMultiModalArtgraphMultiTask(_ImageDataset):
@@ -193,6 +247,20 @@ class NewMultiModalArtgraphMultiTask(_ImageDataset):
             embedding_genre = self.embedding_genre[idx]
         return image, embedding_style, embedding_genre, [style_id, genre_id]
 
+    def get_batch(self, indices):
+        idx = np.asarray(indices, dtype=np.int64)
+        styles, genres = self._col_i32(1)[idx], self._col_i32(2)[idx]
+        if self.type == "train":
+            if self.emb_type == "artwork":
+                emb_s, emb_g = self.embedding_style[idx], self.embedding_genre[idx]
+            else:
+                emb_s = self.embedding_style[styles]
+                emb_g = self.embedding_genre[genres]
+        else:
+            emb_s, emb_g = self.embedding_style[idx], self.embedding_genre[idx]
+        return (self._images_batch(idx), emb_s, emb_g,
+                np.stack((styles, genres), axis=1))
+
 
 class Subset:
     """Index-remapped view over a dataset (torch.utils.data.Subset analog,
@@ -207,6 +275,11 @@ class Subset:
 
     def __getitem__(self, idx: int):
         return self.dataset[self.indices[idx]]
+
+    def get_batch(self, indices):
+        base = np.asarray(self.indices, dtype=np.int64)[
+            np.asarray(indices, dtype=np.int64)]
+        return self.dataset.get_batch(base)
 
     @property
     def transform_type(self) -> str:

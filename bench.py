@@ -78,6 +78,18 @@ def bench_model(model_name: str, batch: int, steps: int, image_size: int = 224):
 
     step = jax.jit(step_fn, donate_argnums=(0, 1, 2))
 
+    # FLOPs of the whole compiled train step (fwd+bwd+Adam+BN), straight
+    # from XLA's cost model — used for the MFU report.
+    try:
+        compiled = step.lower(params, batch_stats, opt_state, images_u8,
+                              labels, rng).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops_per_step = float(ca.get("flops", 0.0))
+    except Exception:
+        flops_per_step = 0.0
+
     def run(n, params, batch_stats, opt_state):
         """Chain n steps and force completion with a HOST READ of the final
         loss. On the axon tunnel platform jax.block_until_ready returns
@@ -95,20 +107,22 @@ def bench_model(model_name: str, batch: int, steps: int, image_size: int = 224):
     # warmup / compile
     _, params, batch_stats, opt_state = run(2, params, batch_stats, opt_state)
 
-    # two-point measurement cancels the fixed per-chain dispatch/transfer
+    # Two-point measurement cancels the fixed per-chain dispatch/transfer
     # overhead: slope of wall-time vs step count is the true step time.
-    # Two trials, best taken: the tunnel adds occasional multi-ms stalls
-    # (~8% run-to-run variance otherwise).
+    # MEDIAN of 3 trials: the tunnel adds occasional multi-ms stalls (~8%
+    # run-to-run variance); median is reproducible across driver runs where
+    # best-of is not.
     n1 = max(steps // 5, 2)
-    best = 0.0
-    for _ in range(2):
+    trials = []
+    for _ in range(3):
         t1, params, batch_stats, opt_state = run(n1, params, batch_stats,
                                                  opt_state)
         t2, params, batch_stats, opt_state = run(steps, params, batch_stats,
                                                  opt_state)
         step_time = (t2 - t1) / (steps - n1)
-        best = max(best, batch / step_time)
-    return best
+        trials.append(batch / step_time)
+    ips = float(np.median(trials))
+    return ips, [round(t, 1) for t in trials], flops_per_step
 
 
 def bench_gnn(num_artworks: int = 100_000, edges_per_rel: int = 1_000_000,
@@ -177,6 +191,95 @@ def bench_gnn(num_artworks: int = 100_000, edges_per_rel: int = 1_000_000,
     return total_edges / step_time
 
 
+def bench_epoch(n_images: int = 512, batch: int = 128, epochs: int = 3):
+    """END-TO-END cached-epoch throughput: the real deliverable (the
+    reference hot loop is a whole epoch, ref: train_baseline.py:55-66).
+
+    Builds a 512-image synthetic dataset once under /tmp (reused across
+    runs), fills the decoded-image cache, then times full
+    Trainer.train_epoch passes — loader fancy-index assembly + background
+    H2D prefetch + jitted step. Reports the median cached-epoch img/s."""
+    import os
+
+    from artgraph_tpu.data import DataLoader, prepare_raw_dataset
+    from artgraph_tpu.data.datasets import ArtGraphSingleTask
+    from artgraph_tpu.data.cache import wrap_with_cache
+    from artgraph_tpu.models import ResnetSingleTask
+    from artgraph_tpu.train import cross_entropy
+    from artgraph_tpu.train.trainer import Trainer, accuracy_metrics, adam
+
+    root = "/tmp/artgraph_bench_epoch"
+    img_dir = os.path.join(root, "images")
+    split_dir = os.path.join(root, "dataset", "train")
+    if not os.path.exists(os.path.join(split_dir, "mapping",
+                                       "artwork_entidx2name.csv")):
+        import pandas as pd
+        from PIL import Image
+        os.makedirs(os.path.join(split_dir, "mapping"), exist_ok=True)
+        os.makedirs(os.path.join(split_dir, "raw", "node-label", "artwork"),
+                    exist_ok=True)
+        os.makedirs(img_dir, exist_ok=True)
+        rng = np.random.default_rng(0)
+        names = []
+        for i in range(n_images):
+            name = f"img_{i}.jpg"
+            arr = rng.integers(0, 255, (300, 350, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(os.path.join(img_dir, name),
+                                      quality=85)
+            names.append(name)
+        pd.DataFrame({"idx": range(n_images), "image": names}).to_csv(
+            os.path.join(split_dir, "mapping", "artwork_entidx2name.csv"),
+            header=False, index=False)
+        for label, n_cls in (("style", 32), ("genre", 18)):
+            pd.Series(np.random.default_rng(1).integers(
+                0, n_cls, n_images)).to_csv(
+                os.path.join(split_dir, "raw", "node-label", "artwork",
+                             f"node-label-{label}.csv"),
+                header=False, index=False)
+
+    df = prepare_raw_dataset(os.path.join(root, "dataset"), "train")
+    ds = ArtGraphSingleTask(img_dir, df[["image", "style"]])
+    wrap_with_cache(ds, os.path.join(root, "cache"), "train")
+
+    def fwd(images, batch_):
+        return (images,)
+
+    def loss_fn(outputs, batch_):
+        labels, mask = batch_[1], batch_[2]
+        return (cross_entropy(outputs, labels, mask=mask),
+                accuracy_metrics(outputs, labels, mask))
+
+    trainer = Trainer(ResnetSingleTask(num_class=32, dropout=0.4),
+                      adam(3e-4), fwd, loss_fn)
+
+    # HBM-resident path (--resident_data): decode once -> upload once ->
+    # on-device batch gathers. Construction time = decode + one bulk H2D.
+    t0 = time.perf_counter()
+    from artgraph_tpu.data import ResidentLoader
+    loader = ResidentLoader(ds, batch_size=batch, shuffle=True)
+    state = trainer.init(next(iter(loader)))
+    state, _ = trainer.train_epoch(state, loader)  # compile
+    first_epoch = time.perf_counter() - t0
+
+    times = []
+    for _ in range(epochs):
+        t0 = time.perf_counter()
+        state, metrics = trainer.train_epoch(state, loader)
+        times.append(time.perf_counter() - t0)
+
+    # host-loader path for comparison (decoded cache + prefetch, bulk H2D
+    # per batch — what --image_cache without --resident_data gives)
+    host_loader = DataLoader(ds, batch_size=batch, shuffle=True,
+                             num_workers=2)
+    state, _ = trainer.train_epoch(state, host_loader)
+    t0 = time.perf_counter()
+    state, _ = trainer.train_epoch(state, host_loader)
+    host_epoch = time.perf_counter() - t0
+
+    cached = float(np.median(times))
+    return n_images / cached, first_epoch, times, host_epoch
+
+
 def measure_torch_cpu(batch: int = 8, steps: int = 5) -> float:
     import sys
     sys.path.insert(0, "tests")
@@ -205,6 +308,9 @@ def main():
                         help="re-measure the torch-CPU baseline instead")
     parser.add_argument("--gnn", action="store_true",
                         help="benchmark the full-batch hetero-GNN step instead")
+    parser.add_argument("--epoch", action="store_true",
+                        help="benchmark the END-TO-END cached ResNet epoch "
+                             "(loader + prefetch + step) instead")
     args = parser.parse_args()
 
     if args.measure_torch:
@@ -222,8 +328,29 @@ def main():
                                      "layers": 2, "graph": "synthetic 8M edges"}}))
         return
 
-    resnet_ips = bench_model("resnet50", args.batch, args.steps)
-    vit_ips = bench_model("vit", args.batch, args.steps)
+    if args.epoch:
+        ips, first, times, host_epoch = bench_epoch(batch=args.batch)
+        print(json.dumps({
+            "metric": "resnet50_cached_epoch_images_per_sec",
+            "value": round(ips, 1), "unit": "images/sec",
+            "vs_baseline": round(ips / TORCH_CPU_RESNET50, 1),
+            "extras": {"first_epoch_sec": round(first, 2),
+                       "resident_epoch_sec": [round(t, 3) for t in times],
+                       "host_loader_epoch_sec": round(host_epoch, 3),
+                       "images": 512, "batch": args.batch,
+                       "baseline": "torch-cpu reference epoch ~665s"},
+        }))
+        return
+
+    resnet_ips, resnet_trials, resnet_flops = bench_model(
+        "resnet50", args.batch, args.steps)
+    vit_ips, vit_trials, vit_flops = bench_model("vit", args.batch, args.steps)
+
+    # v5e bf16 peak: 197 TFLOP/s/chip (public spec); MFU = achieved/peak.
+    peak = 197e12
+
+    def mfu(ips, flops):
+        return round(ips / args.batch * flops / peak, 3) if flops else None
 
     print(json.dumps({
         "metric": "resnet50_fwd_bwd_images_per_sec_per_chip",
@@ -232,6 +359,10 @@ def main():
         "vs_baseline": round(resnet_ips / TORCH_CPU_RESNET50, 1),
         "extras": {
             "vit_b16_fwd_bwd_images_per_sec_per_chip": round(vit_ips, 1),
+            "trials_resnet50": resnet_trials,
+            "trials_vit": vit_trials,
+            "mfu_resnet50": mfu(resnet_ips, resnet_flops),
+            "mfu_vit": mfu(vit_ips, vit_flops),
             "batch": args.batch,
             "dtype": "bfloat16",
             "baseline": "torch-cpu resnet50 fwd+bwd (reference stack, "

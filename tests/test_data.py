@@ -163,3 +163,93 @@ def test_decoded_image_cache(synthetic_dataset, tmp_path):
         mode="single_task", label="style")
     train2 = wrap_with_cache(train2, str(tmp_path), "train")
     assert train2._decoded_cache.valid[3] == 1
+
+
+def test_get_batch_matches_per_item_collate(synthetic_dataset):
+    """Vectorized get_batch must be bit-identical to per-item __getitem__
+    collation for every dataset class (the loader fast path)."""
+    from artgraph_tpu.data.datasets import (
+        MultiModalArtgraphMultiTask, Subset)
+    from artgraph_tpu.data.loader import _collate
+
+    df = prepare_raw_dataset(synthetic_dataset["dataset_dir"], "train")
+    img_dir = synthetic_dataset["image_dir"]
+    n = len(df)
+    rng = np.random.default_rng(2)
+    emb = rng.normal(size=(n, 4)).astype(np.float32)
+    emb_lbl = rng.normal(size=(max(synthetic_dataset["num_style"],
+                                   synthetic_dataset["num_genre"]), 4)
+                         ).astype(np.float32)
+
+    datasets = [
+        ArtGraphSingleTask(img_dir, df[["image", "style"]]),
+        ArtGraphMultiTask(img_dir, df[["image", "style", "genre"]]),
+        MultiModalArtgraphSingleTask(img_dir, df[["image", "style"]], emb,
+                                     type="train", emb_type="artwork"),
+        MultiModalArtgraphSingleTask(img_dir, df[["image", "style"]], emb_lbl,
+                                     type="train", emb_type="style"),
+        MultiModalArtgraphMultiTask(img_dir, df[["image", "style", "genre"]],
+                                    emb),
+        LabelProjectionDataset(img_dir, df[["image", "style", "genre"]],
+                               emb_lbl, emb_type="style"),
+        NewMultiModalArtgraphMultiTask(
+            img_dir, df[["image", "style", "genre"]], emb_lbl, emb_lbl,
+            type="train", emb_type="style"),
+        NewMultiModalArtgraphMultiTask(
+            img_dir, df[["image", "style", "genre"]], emb, emb,
+            type="validation", emb_type="artwork"),
+        Subset(ArtGraphSingleTask(img_dir, df[["image", "style"]]),
+               [5, 1, 9, 3, 7, 0]),
+    ]
+    for ds in datasets:
+        indices = [3, 0, 5, 2]
+        fast = ds.get_batch(indices)
+        slow = _collate([ds[i] for i in indices])
+        assert len(fast) == len(slow), type(ds).__name__
+        for f, s in zip(fast, slow):
+            f, s = np.asarray(f), np.asarray(s)
+            assert f.dtype == s.dtype, type(ds).__name__
+            np.testing.assert_array_equal(f, s, err_msg=type(ds).__name__)
+
+
+def test_get_batch_uses_cache_gather(synthetic_dataset, tmp_path):
+    """With a complete decoded cache, get_batch slices the mmap directly."""
+    from artgraph_tpu.data.cache import wrap_with_cache
+
+    train, _, _ = load_dataset(
+        synthetic_dataset["dataset_dir"], synthetic_dataset["image_dir"],
+        mode="single_task", label="style")
+    wrap_with_cache(train, str(tmp_path), "train")
+    per_item = np.stack([train[i][0] for i in range(len(train))])  # fills
+    assert train._decoded_cache.complete
+    imgs, labels = train.get_batch([4, 2, 0])
+    np.testing.assert_array_equal(imgs, per_item[[4, 2, 0]])
+
+
+def test_resident_loader_matches_host_loader(synthetic_dataset, tmp_path):
+    """ResidentLoader (HBM-resident, on-device gather) must yield epochs
+    bit-identical to the host DataLoader: same shuffle order, same padding,
+    same mask."""
+    from artgraph_tpu.data import ResidentLoader
+
+    train, _, _ = load_dataset(
+        synthetic_dataset["dataset_dir"], synthetic_dataset["image_dir"],
+        mode="single_task", label="style")
+    host = DataLoader(train, batch_size=10, shuffle=True, num_workers=2,
+                      seed=3)
+    res = ResidentLoader(train, batch_size=10, shuffle=True, seed=3)
+    assert len(host) == len(res)
+    for _ in range(2):  # epochs advance the shuffle rng identically
+        for hb, rb in zip(host, res):
+            assert len(hb) == len(rb)
+            for h, r in zip(hb, rb):
+                h, r = np.asarray(h), np.asarray(r)
+                assert h.dtype == r.dtype or (h.dtype == np.float32
+                                              and r.dtype == np.float32)
+                # padded rows of the resident loader gather row 0 instead of
+                # zeros; compare valid rows only, masks exactly
+                mask = np.asarray(hb[-1])
+                k = int(mask.sum())
+                np.testing.assert_array_equal(h[:k], r[:k])
+            np.testing.assert_array_equal(np.asarray(hb[-1]),
+                                          np.asarray(rb[-1]))
