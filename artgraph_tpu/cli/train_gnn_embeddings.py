@@ -47,25 +47,25 @@ def make_steps(model, tx, mesh=None):
 
         forward = make_sharded_forward(model, mesh)
 
-        def apply_train(variables, x, edges, rng):
+        def apply_train(variables, x, edges, csr, rng):
             return forward(variables, x, edges, train=True,
                            rngs={"dropout": rng})
 
-        def apply_eval(variables, x, edges):
+        def apply_eval(variables, x, edges, csr):
             return forward(variables, x, edges, train=False)
     else:
-        def apply_train(variables, x, edges, rng):
-            return model.apply(variables, x, edges, train=True,
+        def apply_train(variables, x, edges, csr, rng):
+            return model.apply(variables, x, edges, train=True, csr=csr,
                                rngs={"dropout": rng}, mutable=["batch_stats"])
 
-        def apply_eval(variables, x, edges):
-            return model.apply(variables, x, edges, train=False)
+        def apply_eval(variables, x, edges, csr):
+            return model.apply(variables, x, edges, train=False, csr=csr)
 
     @partial(jax.jit, donate_argnums=(0, 2))
-    def train_step(params, batch_stats, opt_state, rng, x, edges, y):
+    def train_step(params, batch_stats, opt_state, rng, x, edges, csr, y):
         def loss_fn(p):
             (emb, outs), mut = apply_train(
-                {"params": p, "batch_stats": batch_stats}, x, edges, rng)
+                {"params": p, "batch_stats": batch_stats}, x, edges, csr, rng)
             loss = nll_loss(outs[0]["artwork"], y)
             return loss, (outs[0]["artwork"], mut["batch_stats"])
 
@@ -76,9 +76,9 @@ def make_steps(model, tx, mesh=None):
         return params, new_stats, opt_state, loss, logp
 
     @jax.jit
-    def eval_step(params, batch_stats, x, edges, y):
+    def eval_step(params, batch_stats, x, edges, csr, y):
         emb, outs = apply_eval({"params": params, "batch_stats": batch_stats},
-                               x, edges)
+                               x, edges, csr)
         logp = outs[0]["artwork"]
         return nll_loss(logp, y), logp, emb["artwork"]
 
@@ -108,6 +108,13 @@ def main(argv=None):
                             ("train_validation", "validation"),
                             ("train_test", "test"))
     }
+    # single-device path: sort edges by destination once and use the Pallas
+    # CSR segment kernels (ops.csr_segment) instead of XLA scatters
+    csrs = {name: None for name in graphs}
+    if not args.data_parallel:
+        from artgraph_tpu.data.artgraph import with_csr
+        for name in list(graphs):
+            graphs[name], csrs[name] = with_csr(graphs[name])
     data_train_full = graphs["train"]
     data_train = graphs["train_train"]
     data_validation = graphs["train_validation"]
@@ -161,12 +168,14 @@ def main(argv=None):
         step_rng = jax.random.fold_in(rng, epoch)
         params, batch_stats, opt_state, loss, logp = train_step(
             params, batch_stats, opt_state, step_rng,
-            feats["train_train"], edges["train_train"], y["train_train"])
+            feats["train_train"], edges["train_train"], csrs["train_train"],
+            y["train_train"])
         train_loss = float(loss)
         train_acc = get_accuracy(np.asarray(logp), np.asarray(y["train_train"]))
         val_loss, val_logp, _ = eval_step(
             params, batch_stats, feats["train_validation"],
-            edges["train_validation"], y["train_validation"])
+            edges["train_validation"], csrs["train_validation"],
+            y["train_validation"])
         if epoch % 5 == 0:
             print(f'{label}_train_loss', round(train_loss, 4))
             print(f'{label}_train_accuracy', round(train_acc, 2) * 100)
@@ -177,10 +186,11 @@ def main(argv=None):
 
     val_loss, val_logp, _ = eval_step(
         params, batch_stats, feats["train_validation"],
-        edges["train_validation"], y["train_validation"])
+        edges["train_validation"], csrs["train_validation"],
+        y["train_validation"])
     test_loss, test_logp, _ = eval_step(
         params, batch_stats, feats["train_test"], edges["train_test"],
-        y["train_test"])
+        csrs["train_test"], y["train_test"])
     print(f'{label}_train_loss', round(train_loss, 4))
     print(f'{label}_train_accuracy', round(train_acc, 2) * 100)
     print(f'{label}_val_loss', round(float(val_loss), 4))
@@ -196,7 +206,8 @@ def main(argv=None):
     # artwork embedding is the post-BN pre-activation hidden state.
     print('Saving embeddings...')
     _, _, emb_artwork = eval_step(
-        params, batch_stats, feats["train"], edges["train"], y["train"])
+        params, batch_stats, feats["train"], edges["train"], csrs["train"],
+        y["train"])
     emb = np.asarray(jax.device_get(emb_artwork))
     os.makedirs(config.EMBEDDINGS_DIR, exist_ok=True)
     save_embedding(os.path.join(config.EMBEDDINGS_DIR,

@@ -171,6 +171,24 @@ class ArtGraph:
         return self._graph.num_features
 
 
+def with_csr(graph: HeteroGraph):
+    """Sort every relation's edges by destination and build the Pallas CSR
+    metadata (ops.csr_segment). Returns (graph_sorted, csr_dict).
+
+    Sorting is a host-side one-time cost (the KG topology is static,
+    ref: train_gnn_embeddings.py full-batch training); the sorted order is
+    a permutation, so every segment-reduction result is unchanged up to f32
+    summation order.
+    """
+    from artgraph_tpu.ops.csr_segment import build_csr_dict
+
+    sorted_edges, csrs = build_csr_dict(graph.edges, graph.num_nodes)
+    g = HeteroGraph(node_features=graph.node_features,
+                    num_nodes=graph.num_nodes, edges=sorted_edges,
+                    labels=graph.labels)
+    return g, csrs
+
+
 def to_undirected(graph: HeteroGraph) -> HeteroGraph:
     """PyG T.ToUndirected() semantics: same-type relations get reversed edges
     appended; cross-type relations get a new (dst, 'rev_<rel>', src) relation."""

@@ -35,6 +35,12 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from artgraph_tpu.data.artgraph import OneHot
+from artgraph_tpu.ops.csr_segment import (
+    csr_attention_aggregate,
+    csr_gather,
+    csr_segment_mean,
+    csr_segment_sum,
+)
 from artgraph_tpu.ops.segment import (
     segment_mean,
     segment_softmax,
@@ -80,11 +86,14 @@ class SAGEConv(nn.Module):
     axis_name: str = None  # edge-sharded execution (see ops.segment)
 
     @nn.compact
-    def __call__(self, x_src, x_dst, edge_index, num_dst: int):
+    def __call__(self, x_src, x_dst, edge_index, num_dst: int, csr=None):
         src, dst = edge_index[0], edge_index[1]
         # project-first (linear commutes with mean); bias added post-agg
         h = TypedLinear(self.features, use_bias=False, name="lin_l")(x_src)
-        agg = segment_mean(h[src], dst, num_dst, self.axis_name)
+        if csr is not None and self.axis_name is None:
+            agg = csr_segment_mean(csr_gather(h, csr, "src"), csr.dst)
+        else:
+            agg = segment_mean(h[src], dst, num_dst, self.axis_name)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
         root = TypedLinear(self.features, use_bias=False, name="lin_r")(x_dst)
@@ -98,10 +107,13 @@ class GraphConv(nn.Module):
     axis_name: str = None
 
     @nn.compact
-    def __call__(self, x_src, x_dst, edge_index, num_dst: int):
+    def __call__(self, x_src, x_dst, edge_index, num_dst: int, csr=None):
         src, dst = edge_index[0], edge_index[1]
         h = TypedLinear(self.features, use_bias=False, name="lin_rel")(x_src)
-        agg = segment_sum(h[src], dst, num_dst, self.axis_name)
+        if csr is not None and self.axis_name is None:
+            agg = csr_segment_sum(csr_gather(h, csr, "src"), csr.dst)
+        else:
+            agg = segment_sum(h[src], dst, num_dst, self.axis_name)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
         root = TypedLinear(self.features, use_bias=False, name="lin_root")(x_dst)
@@ -117,7 +129,7 @@ class GATConv(nn.Module):
     axis_name: str = None
 
     @nn.compact
-    def __call__(self, x_src, x_dst, edge_index, num_dst: int):
+    def __call__(self, x_src, x_dst, edge_index, num_dst: int, csr=None):
         src, dst = edge_index[0], edge_index[1]
         h_src = TypedLinear(self.features, use_bias=False, name="lin_src")(x_src)
         h_dst = TypedLinear(self.features, use_bias=False, name="lin_dst")(x_dst)
@@ -126,15 +138,29 @@ class GATConv(nn.Module):
                              (self.features, 1), jnp.float32)
         att_dst = self.param("att_dst", nn.initializers.lecun_normal(),
                              (self.features, 1), jnp.float32)
-        alpha_src = (h_src @ att_src)[:, 0]
         alpha_dst = (h_dst @ att_dst)[:, 0]
 
-        safe_dst = jnp.minimum(dst, num_dst - 1)  # padded edges gather safely
-        logits = nn.leaky_relu(alpha_src[src] + alpha_dst[safe_dst],
-                               negative_slope=self.negative_slope)
-        att = segment_softmax(logits, dst, num_dst, self.axis_name)
-        out = segment_sum(att[:, None] * h_src[src], dst, num_dst,
-                          self.axis_name)
+        if csr is not None and self.axis_name is None:
+            # fused Pallas path (ops.csr_segment): kernel-backed gathers
+            # (their VJPs are sorted segment sums, not XLA scatters) and
+            # softmax numerator + denominator in one kernel pass. The src
+            # attention term is computed on the gathered messages —
+            # (h @ a)[src] == (h[src]) @ a — so its gradient rides the
+            # message gather's VJP for free.
+            msgs = csr_gather(h_src, csr, "src")
+            a_src_e = (msgs @ att_src)[:, 0]
+            a_dst_e = csr_gather(alpha_dst, csr, "dst")
+            logits = nn.leaky_relu(a_src_e + a_dst_e,
+                                   negative_slope=self.negative_slope)
+            out = csr_attention_aggregate(msgs, logits, csr.dst)
+        else:
+            alpha_src = (h_src @ att_src)[:, 0]
+            safe_dst = jnp.minimum(dst, num_dst - 1)  # padded edges
+            logits = nn.leaky_relu(alpha_src[src] + alpha_dst[safe_dst],
+                                   negative_slope=self.negative_slope)
+            att = segment_softmax(logits, dst, num_dst, self.axis_name)
+            out = segment_sum(att[:, None] * h_src[src], dst, num_dst,
+                              self.axis_name)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
         return out + bias
@@ -148,7 +174,8 @@ class GCNConv(nn.Module):
     add_self_loops: bool = True
 
     @nn.compact
-    def __call__(self, x_src, x_dst, edge_index, num_dst: int):
+    def __call__(self, x_src, x_dst, edge_index, num_dst: int, csr=None):
+        # csr ignored: self-loop insertion changes the edge set (XLA path)
         if isinstance(x_src, OneHot) or isinstance(x_dst, OneHot) or \
                 _rows(x_src) != num_dst:
             raise ValueError("GCNConv supports homogeneous graphs only "
@@ -177,11 +204,14 @@ class GINConv(nn.Module):
     axis_name: str = None
 
     @nn.compact
-    def __call__(self, x_src, x_dst, edge_index, num_dst: int):
+    def __call__(self, x_src, x_dst, edge_index, num_dst: int, csr=None):
         src, dst = edge_index[0], edge_index[1]
         h_src = TypedLinear(self.features, use_bias=False, name="lin_src")(x_src)
         h_dst = TypedLinear(self.features, use_bias=False, name="lin_dst")(x_dst)
-        agg = segment_sum(h_src[src], dst, num_dst, self.axis_name)
+        if csr is not None and self.axis_name is None:
+            agg = csr_segment_sum(csr_gather(h_src, csr, "src"), csr.dst)
+        else:
+            agg = segment_sum(h_src[src], dst, num_dst, self.axis_name)
         return nn.Dense(self.features, name="update")(
             (1.0 + self.eps) * h_dst + agg)
 
@@ -221,8 +251,11 @@ class HeteroSGNN(nn.Module):
     skip: bool = False
     axis_name: str = None  # set to a mesh axis for edge-sharded execution
 
-    def _hetero_conv(self, name: str, features: int, x: Dict, edges: Dict):
-        """One to_hetero layer: per-relation conv, sum-aggregate per dst type."""
+    def _hetero_conv(self, name: str, features: int, x: Dict, edges: Dict,
+                     csr: Dict = None):
+        """One to_hetero layer: per-relation conv, aggregated per dst type
+        with self.aggr (PyG to_hetero semantics, ref: models_graph.py:45-49:
+        sum | mean | max | min | mul)."""
         node_types, edge_types = self.metadata
         conv_cls = OPERATORS[self.operator]
         out: Dict[str, list] = {t: [] for t in node_types}
@@ -230,14 +263,25 @@ class HeteroSGNN(nn.Module):
             conv = conv_cls(features, axis_name=self.axis_name,
                             name=f"{name}__{src_t}__{rel}__{dst_t}")
             msg = conv(x[src_t], x[dst_t], edges[(src_t, rel, dst_t)],
-                       num_dst=_rows(x[dst_t]))
+                       num_dst=_rows(x[dst_t]),
+                       csr=None if csr is None else
+                       csr.get((src_t, rel, dst_t)))
             out[dst_t].append(msg)
+        combine = {
+            "sum": lambda a, m: a + m,
+            "mean": lambda a, m: a + m,
+            "max": jnp.maximum,
+            "min": jnp.minimum,
+            "mul": lambda a, m: a * m,
+        }[self.aggr]
         result: Dict[str, jnp.ndarray] = {}
         for t in node_types:
             if out[t]:
                 acc = out[t][0]
                 for m in out[t][1:]:
-                    acc = acc + m  # aggr='sum' across relations
+                    acc = combine(acc, m)
+                if self.aggr == "mean":
+                    acc = acc / len(out[t])
                 result[t] = acc
             else:
                 # PyG drops never-targeted types; zeros keep shapes total
@@ -245,13 +289,14 @@ class HeteroSGNN(nn.Module):
         return result
 
     @nn.compact
-    def __call__(self, x_dict: Dict, edge_dict: Dict, train: bool = False):
+    def __call__(self, x_dict: Dict, edge_dict: Dict, train: bool = False,
+                 csr: Dict = None):
         node_types, _ = self.metadata
         x = dict(x_dict)
         x_emb = x
         for layer in range(self.n_layers):
             new_x = self._hetero_conv(f"conv{layer}", self.hidden_channels,
-                                      x, edge_dict)
+                                      x, edge_dict, csr=csr)
             if self.skip:
                 for t in node_types:
                     new_x[t] = new_x[t] + TypedLinear(
@@ -275,7 +320,8 @@ class HeteroSGNN(nn.Module):
                                name=f"drop{layer}__{t}")(h)
                 x_emb[t] = h
 
-        x_out = self._hetero_conv("conv_out", self.out_channels, x_emb, edge_dict)
+        x_out = self._hetero_conv("conv_out", self.out_channels, x_emb,
+                                  edge_dict, csr=csr)
         out_soft = {t: nn.log_softmax(v, axis=1) for t, v in x_out.items()}
         return x, [out_soft]
 

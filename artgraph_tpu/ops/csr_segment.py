@@ -1,0 +1,540 @@
+"""CSR-sorted segment reductions — Pallas TPU kernel for GNN message passing.
+
+XLA's segment_sum is a generic scatter: measured on v5e it runs ~12x off
+HBM bandwidth for [8M, 128] f32 messages and ~80 ms for scalar segment ops
+(the GAT softmax path), because scatter-adds serialize. The ArtGraph KG is
+STATIC topology (full-batch transductive training, ref:
+src/train_gnn_embeddings.py:39-52), so we can sort each relation's edges by
+destination ONCE on the host and replace every scatter with a dense,
+sequential-read kernel:
+
+  * edges sorted by dst => each destination's messages are contiguous;
+  * grid over output blocks of S_BLK segments; a block's edge range comes
+    from a per-block CSR pointer (scalar-prefetched);
+  * the kernel streams BE-edge chunks HBM->VMEM with async DMA and reduces
+    each chunk with a one-hot [S_BLK, BE] @ [BE, F] matmul on the MXU —
+    sums become matmuls, the op TPUs are built for;
+  * the weighted variant fuses GAT's softmax numerator (sum w*m) and
+    denominator (sum w) into the same pass, and the per-segment max shift
+    is replaced by a global max (softmax is shift-invariant, so the result
+    is mathematically identical; only the shift constant differs).
+
+Gradients: d/d_data of a segment sum is a plain gather of the output
+cotangent back to the edges — XLA gathers run at ~215 GB/s here, so the
+backward pass needs no custom kernel.
+
+Replaces the torch-scatter/PyG CUDA segment kernels the reference relies on
+(SURVEY.md §2.4: "the one place a custom Pallas segment/scatter kernel is
+justified").
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+S_BLK = 32   # segments per output block (f32 sublane-multiple)
+BE = 1024    # edges per DMA chunk; chunk starts are BE-aligned because 1-D
+             # int32/f32 VMEM slices must align to 1024-element tiles
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class CSR:
+    """Host-precomputed sorted-edge metadata for one relation.
+
+    Edges MUST already be sorted by destination (build_csr sorts them and
+    returns the permuted edge_index alongside).
+    """
+
+    seg_local: jnp.ndarray   # [E_pad] int32: dst % S_BLK; -1 on padding
+    block_ptr: jnp.ndarray   # [num_blocks+1] int32 edge offsets per block
+    dst_sorted: jnp.ndarray  # [E_pad] int32 sorted dst ids; 0 on padding
+    counts: jnp.ndarray      # [num_segments] f32 in-degree (for mean)
+    num_segments: int        # static
+    num_edges: int           # static, pre-padding
+
+    def tree_flatten(self):
+        return ((self.seg_local, self.block_ptr, self.dst_sorted,
+                 self.counts),
+                (self.num_segments, self.num_edges))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def num_blocks(self) -> int:
+        return (self.num_segments + S_BLK - 1) // S_BLK
+
+
+def _csr_from_sorted(ids: np.ndarray, num_segments: int) -> CSR:
+    """Kernel metadata for an already nondecreasing segment-id array."""
+    e = ids.shape[0]
+    ids = ids.astype(np.int64)
+    num_blocks = (num_segments + S_BLK - 1) // S_BLK
+    # row_ptr at block granularity only (fits scalar-prefetch memory)
+    boundaries = np.arange(num_blocks + 1, dtype=np.int64) * S_BLK
+    block_ptr = np.searchsorted(ids, boundaries, side="left").astype(np.int32)
+
+    # pad the edge arrays to whole BE-aligned chunks
+    e_pad = ((e + BE - 1) // BE) * BE
+    seg_local = np.full(e_pad, -1, np.int32)
+    seg_local[:e] = (ids % S_BLK).astype(np.int32)
+    dst_sorted = np.zeros(e_pad, np.int32)
+    dst_sorted[:e] = ids
+
+    counts = np.bincount(ids, minlength=num_segments).astype(np.float32)
+
+    return CSR(
+        seg_local=jnp.asarray(seg_local),
+        block_ptr=jnp.asarray(block_ptr),
+        dst_sorted=jnp.asarray(dst_sorted),
+        counts=jnp.asarray(counts),
+        num_segments=int(num_segments),
+        num_edges=int(e),
+    )
+
+
+def build_csr(edge_index: np.ndarray, num_segments: int
+              ) -> Tuple[np.ndarray, CSR]:
+    """Sort edges by dst and build kernel metadata.
+
+    Returns (sorted_edge_index [2, E], csr). The caller must use the sorted
+    edge_index together with the csr (src rows are permuted identically).
+    """
+    edge_index = np.asarray(edge_index)
+    order = np.argsort(edge_index[1], kind="stable")
+    sorted_edges = np.ascontiguousarray(edge_index[:, order]).astype(np.int32)
+    return sorted_edges, _csr_from_sorted(sorted_edges[1], num_segments)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class EdgeCSR:
+    """Both directions of one relation's sorted-edge metadata.
+
+    `dst` drives the forward segment reductions; `src` + `src_perm` drive
+    the BACKWARD of the h_src[src] gathers (a scatter-add by src in plain
+    XLA — the same serialization the forward kernel removes).
+    """
+
+    dst: CSR
+    src: CSR
+    src_perm: jnp.ndarray  # [E] int32: dst-order edge position per src rank
+    src_ids: jnp.ndarray   # [E] int32: src node per dst-ordered edge
+
+    def tree_flatten(self):
+        return ((self.dst, self.src, self.src_perm, self.src_ids), ())
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def build_edge_csr(edge_index: np.ndarray, num_src: int, num_dst: int
+                   ) -> Tuple[np.ndarray, EdgeCSR]:
+    sorted_edges, dst_csr = build_csr(edge_index, num_dst)
+    src_ids = sorted_edges[0]
+    order = np.argsort(src_ids, kind="stable").astype(np.int32)
+    src_csr = _csr_from_sorted(src_ids[order], num_src)
+    return sorted_edges, EdgeCSR(
+        dst=dst_csr, src=src_csr,
+        src_perm=jnp.asarray(order),
+        src_ids=jnp.asarray(src_ids))
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+def _onehot(seg, e_start, e_end, start):
+    """[S_BLK, BE] membership matrix for a chunk, masked to the block's
+    edge range (chunk windows are BE-aligned and may overhang both ends)."""
+    epos = start + jax.lax.broadcasted_iota(jnp.int32, (BE,), 0)
+    inside = (epos >= e_start) & (epos < e_end)
+    return ((jax.lax.broadcasted_iota(jnp.int32, (S_BLK, BE), 0)
+             == seg[None, :]) & inside[None, :]).astype(jnp.float32)
+
+
+def _double_buffered(num_chunks, base, streams, compute):
+    """Run `compute(k, slot)` over chunks with double-buffered DMA.
+
+    streams: list of (hbm_ref, vmem_ref[2, ...], sem[2]) — chunk k of each
+    stream is copied into slot k%2 one iteration ahead of its use.
+    """
+    def copies(k, slot):
+        # double buffers are flattened to 2*BE along dim 0 (a leading size-2
+        # dim cannot be sliced under VMEM tiling); slot offsets 0/BE are
+        # tile-aligned
+        start = base + k * BE
+        off = slot * BE
+        out = []
+        for hbm, vmem, sem in streams:
+            if hbm.ndim == 2:
+                src = hbm.at[pl.ds(start, BE), :]
+                dst = vmem.at[pl.ds(off, BE), :]
+            else:
+                src = hbm.at[pl.ds(start, BE)]
+                dst = vmem.at[pl.ds(off, BE)]
+            out.append(pltpu.make_async_copy(src, dst, sem.at[slot]))
+        return out
+
+    @pl.when(num_chunks > 0)
+    def _():
+        for cp in copies(0, 0):
+            cp.start()
+
+    def body(k, _):
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < num_chunks)
+        def _():
+            for cp in copies(k + 1, jax.lax.rem(k + 1, 2)):
+                cp.start()
+
+        for cp in copies(k, slot):
+            cp.wait()
+        compute(k, slot)
+        return 0
+
+    jax.lax.fori_loop(0, num_chunks, body, 0)
+
+
+def _sum_kernel(block_ptr_ref, data_hbm, seg_hbm, out_ref,
+                data_vmem, seg_vmem, acc_ref, sem_d, sem_s):
+    b = pl.program_id(0)
+    e_start = block_ptr_ref[b]
+    e_end = block_ptr_ref[b + 1]
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    # chunk starts are BE-aligned (VMEM 1-D slice tiling); edges of
+    # neighboring blocks inside the window are masked out by position
+    base = (e_start // BE) * BE
+    num_chunks = pl.cdiv(e_end - base, BE)
+
+    def compute(k, slot):
+        off = slot * BE
+        onehot = _onehot(seg_vmem[pl.ds(off, BE)], e_start, e_end,
+                         base + k * BE)
+        acc_ref[:] += jax.lax.dot(
+            onehot, data_vmem[pl.ds(off, BE), :].astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+
+    _double_buffered(num_chunks, base,
+                     [(data_hbm, data_vmem, sem_d),
+                      (seg_hbm, seg_vmem, sem_s)], compute)
+    out_ref[:] = acc_ref[:]
+
+
+def _weighted_kernel(block_ptr_ref, data_hbm, w_hbm, seg_hbm,
+                     out_ref, outw_ref,
+                     data_vmem, w_vmem, seg_vmem, acc_ref, accw_ref,
+                     sem_d, sem_w, sem_s):
+    b = pl.program_id(0)
+    e_start = block_ptr_ref[b]
+    e_end = block_ptr_ref[b + 1]
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    accw_ref[:] = jnp.zeros_like(accw_ref)
+    base = (e_start // BE) * BE
+    num_chunks = pl.cdiv(e_end - base, BE)
+
+    def compute(k, slot):
+        off = slot * BE
+        onehot = _onehot(seg_vmem[pl.ds(off, BE)], e_start, e_end,
+                         base + k * BE)
+        # fold the edge weight into the one-hot: one matmul gives sum(w*m),
+        # a row-sum of the same weighted one-hot gives sum(w) for free
+        wo = onehot * w_vmem[pl.ds(off, BE)][None, :]
+        acc_ref[:] += jax.lax.dot(
+            wo, data_vmem[pl.ds(off, BE), :].astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        accw_ref[:] += jnp.sum(wo, axis=1, keepdims=True)
+
+    _double_buffered(num_chunks, base,
+                     [(data_hbm, data_vmem, sem_d),
+                      (w_hbm, w_vmem, sem_w),
+                      (seg_hbm, seg_vmem, sem_s)], compute)
+    out_ref[:] = acc_ref[:]
+    outw_ref[:] = accw_ref[:]
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+def _pallas_sum(data, csr: CSR):
+    nb = csr.num_blocks
+    n_pad = nb * S_BLK
+    f = data.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((S_BLK, f), lambda b, bp: (b, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2 * BE, f), data.dtype),
+            pltpu.VMEM((2 * BE,), jnp.int32),
+            pltpu.VMEM((S_BLK, f), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _sum_kernel,
+        out_shape=jax.ShapeDtypeStruct((n_pad, f), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_use_interpret(),
+    )(csr.block_ptr, data, csr.seg_local)
+    return out[:csr.num_segments]
+
+
+def _pallas_weighted(data, w, csr: CSR):
+    nb = csr.num_blocks
+    n_pad = nb * S_BLK
+    f = data.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec((S_BLK, f), lambda b, bp: (b, 0)),
+                   pl.BlockSpec((S_BLK, 1), lambda b, bp: (b, 0))],
+        scratch_shapes=[
+            pltpu.VMEM((2 * BE, f), data.dtype),
+            pltpu.VMEM((2 * BE,), jnp.float32),
+            pltpu.VMEM((2 * BE,), jnp.int32),
+            pltpu.VMEM((S_BLK, f), jnp.float32),
+            pltpu.VMEM((S_BLK, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out, outw = pl.pallas_call(
+        _weighted_kernel,
+        out_shape=[jax.ShapeDtypeStruct((n_pad, f), jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad, 1), jnp.float32)],
+        grid_spec=grid_spec,
+        interpret=_use_interpret(),
+    )(csr.block_ptr, data, w, csr.seg_local)
+    return out[:csr.num_segments], outw[:csr.num_segments, 0]
+
+
+def _scalar_kernel(block_ptr_ref, w_hbm, seg_hbm, out_ref,
+                   w_vmem, seg_vmem, acc_ref, sem_w, sem_s):
+    """Per-segment sum of a scalar edge array (VPU only, no feature DMA)."""
+    b = pl.program_id(0)
+    e_start = block_ptr_ref[b]
+    e_end = block_ptr_ref[b + 1]
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    base = (e_start // BE) * BE
+    num_chunks = pl.cdiv(e_end - base, BE)
+
+    def compute(k, slot):
+        off = slot * BE
+        onehot = _onehot(seg_vmem[pl.ds(off, BE)], e_start, e_end,
+                         base + k * BE)
+        acc_ref[:] += jnp.sum(onehot * w_vmem[pl.ds(off, BE)][None, :],
+                              axis=1, keepdims=True)
+
+    _double_buffered(num_chunks, base,
+                     [(w_hbm, w_vmem, sem_w),
+                      (seg_hbm, seg_vmem, sem_s)], compute)
+    out_ref[:] = acc_ref[:]
+
+
+def _pallas_scalar(w, csr: CSR):
+    nb = csr.num_blocks
+    n_pad = nb * S_BLK
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((S_BLK, 1), lambda b, bp: (b, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2 * BE,), jnp.float32),
+            pltpu.VMEM((2 * BE,), jnp.int32),
+            pltpu.VMEM((S_BLK, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _scalar_kernel,
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_use_interpret(),
+    )(csr.block_ptr, w, csr.seg_local)
+    return out[:csr.num_segments, 0]
+
+
+# ---------------------------------------------------------------------------
+# Differentiable public API
+# ---------------------------------------------------------------------------
+
+def _pad_edges(x, csr: CSR):
+    """Pad edge-major arrays to the kernel's padded edge count."""
+    e_pad = csr.seg_local.shape[0]
+    pad = e_pad - x.shape[0]
+    if pad <= 0:
+        return x
+    widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, widths)
+
+
+def _pad_features(x):
+    """Pad the feature (lane) dim to a 128 multiple (VMEM tiling)."""
+    f = x.shape[1]
+    f_pad = ((f + 127) // 128) * 128
+    if f_pad != f:
+        x = jnp.pad(x, ((0, 0), (0, f_pad - f)))
+    return x, f
+
+
+@jax.custom_vjp
+def csr_segment_sum(data, csr: CSR):
+    """sum of data rows per destination segment; data is edge-major in the
+    csr's sorted order, [E or E_pad, F] -> [num_segments, F] f32."""
+    padded, f = _pad_features(_pad_edges(data, csr))
+    return _pallas_sum(padded, csr)[:, :f]
+
+
+def _sum_fwd(data, csr):
+    return csr_segment_sum(data, csr), (csr, data.shape[0])
+
+
+def _sum_bwd(res, g):
+    csr, e = res
+    grad = g[jnp.minimum(csr.dst_sorted[:e], csr.num_segments - 1)]
+    return grad.astype(jnp.float32), None
+
+
+csr_segment_sum.defvjp(_sum_fwd, _sum_bwd)
+
+
+@jax.custom_vjp
+def csr_weighted_segment_sum(data, w, csr: CSR):
+    """(sum of w*data per segment, sum of w per segment).
+
+    The GAT fusion: numerator and softmax denominator in one kernel pass.
+    """
+    padded, f = _pad_features(_pad_edges(data, csr))
+    num, den = _pallas_weighted(padded, _pad_edges(w, csr), csr)
+    return num[:, :f], den
+
+
+def _wsum_fwd(data, w, csr):
+    return csr_weighted_segment_sum(data, w, csr), (data, w, csr)
+
+
+def _wsum_bwd(res, cots):
+    data, w, csr = res
+    g_out, g_w = cots
+    e = data.shape[0]
+    ids = jnp.minimum(csr.dst_sorted[:e], csr.num_segments - 1)
+    g_edge = g_out[ids]                       # [E, F]
+    d_data = w[:, None] * g_edge
+    d_w = jnp.sum(data.astype(jnp.float32) * g_edge, axis=-1) + g_w[ids]
+    return d_data.astype(jnp.float32), d_w, None
+
+
+csr_weighted_segment_sum.defvjp(_wsum_fwd, _wsum_bwd)
+
+
+@jax.custom_vjp
+def csr_scalar_segment_sum(w, csr: CSR):
+    """Per-segment sum of a scalar edge array, [E] -> [num_segments]."""
+    return _pallas_scalar(_pad_edges(w.astype(jnp.float32), csr), csr)
+
+
+def _ssum_fwd(w, csr):
+    return csr_scalar_segment_sum(w, csr), (csr, w.shape[0])
+
+
+def _ssum_bwd(res, g):
+    csr, e = res
+    return g[jnp.minimum(csr.dst_sorted[:e], csr.num_segments - 1)], None
+
+
+csr_scalar_segment_sum.defvjp(_ssum_fwd, _ssum_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def csr_gather(x, ecsr: EdgeCSR, axis: str):
+    """x[edge endpoint ids] with a kernel-backed backward.
+
+    axis='src': gather node rows (or scalars) to edges by source id; the
+    VJP is a segment sum by src — served by the src-sorted CSR kernel
+    instead of an XLA scatter. axis='dst': same with the dst-sorted CSR
+    (edges are already in dst order, no permutation needed).
+    """
+    e = ecsr.dst.num_edges
+    ids = ecsr.src_ids if axis == "src" else ecsr.dst.dst_sorted[:e]
+    return x[jnp.minimum(ids, x.shape[0] - 1)]
+
+
+def _gather_fwd(x, ecsr, axis):
+    return csr_gather(x, ecsr, axis), (ecsr, x.shape[0])
+
+
+def _gather_bwd(axis, res, g):
+    ecsr, n = res
+    if axis == "src":
+        g = g[ecsr.src_perm]  # reorder cotangents into src-sorted order
+        csr = ecsr.src
+    else:
+        csr = ecsr.dst
+    if g.ndim == 1:
+        d_x = csr_scalar_segment_sum(g, csr)
+    else:
+        d_x = csr_segment_sum(g, csr)
+    return d_x[:n], None
+
+
+csr_gather.defvjp(_gather_fwd, _gather_bwd)
+
+
+def csr_segment_mean(data, csr: CSR):
+    totals = csr_segment_sum(data, csr)
+    return totals / jnp.maximum(csr.counts, 1.0)[:, None]
+
+
+def csr_attention_aggregate(messages, logits, csr: CSR, eps: float = 1e-16):
+    """GAT aggregation: softmax(logits per segment)-weighted message sum.
+
+    Identical math to segment_softmax + segment_sum (softmax is invariant to
+    the shift constant, so a global max replaces the per-segment max):
+      out[s] = sum_e w_e * m_e / sum_e w_e,  w_e = exp(logit_e - max logits)
+    """
+    shift = jax.lax.stop_gradient(jnp.max(logits))
+    shift = jnp.where(jnp.isfinite(shift), shift, 0.0)
+    w = jnp.exp(logits - shift)
+    num, den = csr_weighted_segment_sum(messages, w, csr)
+    return num / jnp.maximum(den, eps)[:, None]
+
+
+def build_csr_dict(edges: Dict, num_nodes: Dict) -> Tuple[Dict, Dict]:
+    """Sort every relation's edges and build its EdgeCSR (both directions).
+    Returns (sorted_edges_dict, csr_dict) for HeteroGraph-style edge dicts
+    keyed by (src_type, rel, dst_type)."""
+    sorted_edges, csrs = {}, {}
+    for (s, r, t), ei in edges.items():
+        se, ecsr = build_edge_csr(ei, num_nodes[s], num_nodes[t])
+        sorted_edges[(s, r, t)] = se
+        csrs[(s, r, t)] = ecsr
+    return sorted_edges, csrs

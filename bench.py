@@ -151,6 +151,10 @@ def bench_gnn(num_artworks: int = 100_000, edges_per_rel: int = 1_000_000,
         edges[(t, f"rev_{r}", h)] = e[::-1].copy()
     graph = HeteroGraph(node_features=feats, num_nodes=num_nodes, edges=edges,
                         labels={"y_style": rng.integers(0, 32, num_artworks).astype(np.int32)})
+    # sort edges by destination + Pallas CSR segment kernels (the
+    # train_gnn_embeddings single-device path)
+    from artgraph_tpu.data.artgraph import with_csr
+    graph, csrs = with_csr(graph)
 
     model = HeteroSGNN(metadata=graph.metadata, operator="GATConv",
                        hidden_channels=128, out_channels=32, n_layers=2,
@@ -167,7 +171,7 @@ def bench_gnn(num_artworks: int = 100_000, edges_per_rel: int = 1_000_000,
         def loss_fn(p):
             (emb, outs), mut = model.apply(
                 {"params": p, "batch_stats": stats}, graph.node_features,
-                graph.edges, train=True, rngs={"dropout": r},
+                graph.edges, train=True, csr=csrs, rngs={"dropout": r},
                 mutable=["batch_stats"])
             return nll_loss(outs[0]["artwork"], y), mut["batch_stats"]
         (loss, ns), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

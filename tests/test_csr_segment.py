@@ -1,0 +1,171 @@
+"""Pallas CSR segment kernels: numpy-oracle parity (values + gradients) and
+HeteroSGNN CSR-vs-XLA equivalence. Runs in interpret mode on the CPU test
+platform; the same code compiles with Mosaic on TPU."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from artgraph_tpu.ops.csr_segment import (
+    build_csr,
+    csr_attention_aggregate,
+    csr_segment_mean,
+    csr_segment_sum,
+    csr_weighted_segment_sum,
+)
+
+
+@pytest.fixture(scope="module")
+def edges():
+    rng = np.random.default_rng(0)
+    E, N_src, N = 5000, 400, 300
+    ei = np.stack([rng.integers(0, N_src, E),
+                   rng.integers(0, N, E)]).astype(np.int32)
+    sorted_edges, csr = build_csr(ei, N)
+    return sorted_edges, csr, E, N
+
+
+def test_csr_sum_matches_oracle(edges):
+    se, csr, E, N = edges
+    rng = np.random.default_rng(1)
+    data = rng.normal(size=(E, 128)).astype(np.float32)
+    ref = np.zeros((N, 128), np.float32)
+    np.add.at(ref, se[1], data)
+    out = np.asarray(csr_segment_sum(jnp.asarray(data), csr))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_csr_sum_empty_and_hub_segments():
+    """Gapped dst ids (empty segments) and one hub taking most edges."""
+    rng = np.random.default_rng(2)
+    E, N = 4000, 90
+    dst = np.where(rng.random(E) < 0.7, 7, rng.integers(50, N, E))
+    ei = np.stack([rng.integers(0, 100, E), dst]).astype(np.int32)
+    se, csr = build_csr(ei, N)
+    data = rng.normal(size=(E, 128)).astype(np.float32)
+    ref = np.zeros((N, 128), np.float32)
+    np.add.at(ref, se[1], data)
+    out = np.asarray(csr_segment_sum(jnp.asarray(data), csr))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-3)
+    assert np.all(out[:50][np.arange(50) != 7] == 0)  # empty segments stay 0
+
+
+def test_csr_weighted_and_grads(edges):
+    se, csr, E, N = edges
+    rng = np.random.default_rng(3)
+    data = rng.normal(size=(E, 128)).astype(np.float32)
+    w = rng.normal(size=(E,)).astype(np.float32)
+    num, den = csr_weighted_segment_sum(jnp.asarray(data), jnp.asarray(w), csr)
+    refn = np.zeros((N, 128), np.float32)
+    np.add.at(refn, se[1], w[:, None] * data)
+    refd = np.zeros((N,), np.float32)
+    np.add.at(refd, se[1], w)
+    np.testing.assert_allclose(np.asarray(num), refn, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(den), refd, rtol=1e-4, atol=1e-4)
+
+    def loss(d, w):
+        a, b = csr_weighted_segment_sum(d, w, csr)
+        return jnp.sum(a * 0.3) + jnp.sum(b * 0.7)
+
+    gd, gw = jax.grad(loss, argnums=(0, 1))(jnp.asarray(data), jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(gd), 0.3 * w[:, None]
+                               * np.ones_like(data), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw), 0.3 * data.sum(-1) + 0.7,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_csr_mean_matches_xla(edges):
+    se, csr, E, N = edges
+    rng = np.random.default_rng(4)
+    data = jnp.asarray(rng.normal(size=(E, 128)).astype(np.float32))
+    ref = jax.ops.segment_sum(data, jnp.asarray(se[1]), num_segments=N)
+    counts = np.bincount(se[1], minlength=N).astype(np.float32)
+    ref = np.asarray(ref) / np.maximum(counts, 1.0)[:, None]
+    out = np.asarray(csr_segment_mean(data, csr))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_csr_attention_matches_segment_softmax(edges):
+    """Global-max-shift GAT aggregation == per-segment softmax + sum."""
+    from artgraph_tpu.ops.segment import segment_softmax, segment_sum
+
+    se, csr, E, N = edges
+    rng = np.random.default_rng(5)
+    m = jnp.asarray(rng.normal(size=(E, 128)).astype(np.float32))
+    logits = jnp.asarray(rng.normal(size=(E,)).astype(np.float32))
+    dst = jnp.asarray(se[1])
+    att = segment_softmax(logits, dst, N)
+    ref = np.asarray(segment_sum(att[:, None] * m, dst, N))
+    out = np.asarray(csr_attention_aggregate(m, logits, csr))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_heterosgnn_csr_matches_xla(synthetic_graph):
+    """Full model: CSR path and XLA path produce the same forward + grads."""
+    import optax
+
+    from artgraph_tpu.data.artgraph import ArtGraph, to_undirected, with_csr
+    from artgraph_tpu.models.gnn import HeteroSGNN
+    from artgraph_tpu.train import nll_loss
+
+    import os
+    g = to_undirected(ArtGraph(
+        os.path.join(synthetic_graph["root"], "train"))[0])
+    g_sorted, csrs = with_csr(g)
+    model = HeteroSGNN(metadata=g.metadata, operator="GATConv",
+                       hidden_channels=16, out_channels=4, n_layers=2,
+                       dropout=0.0, bn=True)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, g.node_features, g.edges, train=False)
+    y = jnp.asarray(g.labels["y_style"])
+
+    def loss_fn(params, edges, csr):
+        (emb, outs), _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            g.node_features, edges, train=True, csr=csr,
+            rngs={"dropout": rng}, mutable=["batch_stats"])
+        return nll_loss(outs[0]["artwork"], y), emb
+
+    (l_xla, emb_xla), g_xla = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"], g.edges, None)
+    (l_csr, emb_csr), g_csr = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"], g_sorted.edges, csrs)
+
+    np.testing.assert_allclose(float(l_xla), float(l_csr), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(emb_xla["artwork"]),
+                               np.asarray(emb_csr["artwork"]),
+                               rtol=1e-4, atol=1e-4)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_xla),
+            jax.tree_util.tree_leaves_with_path(g_csr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4, err_msg=str(pa))
+
+
+def test_heterosgnn_aggr_modes(synthetic_graph):
+    """aggr is honored: mean/max across relations differ from sum and mean
+    equals sum / num_relations_per_type."""
+    import os
+
+    from artgraph_tpu.data.artgraph import ArtGraph, to_undirected
+    from artgraph_tpu.models.gnn import HeteroSGNN
+
+    g = to_undirected(ArtGraph(
+        os.path.join(synthetic_graph["root"], "train"))[0])
+    rng = jax.random.PRNGKey(0)
+    outs = {}
+    params = None
+    for aggr in ("sum", "mean", "max"):
+        model = HeteroSGNN(metadata=g.metadata, operator="GraphConv",
+                           hidden_channels=16, out_channels=4, n_layers=1,
+                           dropout=0.0, bn=False, aggr=aggr)
+        variables = model.init(rng, g.node_features, g.edges, train=False)
+        if params is None:
+            params = variables  # identical structure/init across aggr modes
+        emb, _ = model.apply(params, g.node_features, g.edges, train=False)
+        outs[aggr] = np.asarray(emb["artwork"])
+    # artwork receives 4 reversed relations (media/about/genre/style... rev)
+    n_rel = sum(1 for (s, r, t) in g.metadata[1] if t == "artwork")
+    np.testing.assert_allclose(outs["mean"], outs["sum"] / n_rel,
+                               rtol=1e-5, atol=1e-6)
+    assert not np.allclose(outs["max"], outs["sum"])
