@@ -27,66 +27,87 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _flat(ref):
+    """[BB, HB, N, D] block -> [BB*HB, N, D] (batched-dot geometry)."""
+    bb, hb, n, d = ref.shape
+    return ref[...].reshape(bb * hb, n, d)
+
+
 def _fwd_kernel(scale: float, q_ref, k_ref, v_ref, o_ref):
-    q = q_ref[0].astype(jnp.float32)  # [HB, N, D]
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    # contractions take the inputs in their storage dtype (bf16) with f32
+    # accumulation — full MXU rate; only softmax math runs in f32. An f32
+    # upcast before the dots costs 3x MXU passes for precision the bf16
+    # inputs never had.
+    q = _flat(q_ref)  # [BB*HB, N, D]
+    k = _flat(k_ref)
+    v = _flat(v_ref)
 
     s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32) * scale
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
+    o = jax.lax.dot_general(p.astype(q.dtype), v,
+                            (((2,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32) / l
-    o_ref[0] = o.astype(o_ref.dtype)
+    o_ref[...] = o.astype(o_ref.dtype).reshape(o_ref.shape)
 
 
 def _bwd_kernel(scale: float, q_ref, k_ref, v_ref, o_ref, do_ref,
                 dq_ref, dk_ref, dv_ref):
-    q = q_ref[0].astype(jnp.float32)  # [HB, N, D]
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    o = o_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    # same dtype policy as forward: bf16 contractions / f32 accumulation +
+    # f32 softmax math
+    q = _flat(q_ref)  # [BB*HB, N, D]
+    k = _flat(k_ref)
+    v = _flat(v_ref)
+    o = _flat(o_ref)
+    do = _flat(do_ref)
 
     s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32) * scale
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     l = jnp.sum(e, axis=-1, keepdims=True)
-    p = e / l  # softmax probabilities [HB, N, N]
+    p = (e / l).astype(q.dtype)  # softmax probabilities [HB, N, N]
 
     dv = jax.lax.dot_general(p, do, (((1,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
-    d_row = jnp.sum(do * o, axis=-1, keepdims=True)
-    ds = p * (dp - d_row) * scale
+    d_row = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1, keepdims=True)
+    ds = (p.astype(jnp.float32) * (dp - d_row) * scale).astype(q.dtype)
 
     dq = jax.lax.dot_general(ds, k, (((2,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
     dk = jax.lax.dot_general(ds, q, (((1,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    dq_ref[...] = dq.astype(dq_ref.dtype).reshape(dq_ref.shape)
+    dk_ref[...] = dk.astype(dk_ref.dtype).reshape(dk_ref.shape)
+    dv_ref[...] = dv.astype(dv_ref.dtype).reshape(dv_ref.shape)
 
 
-def _specs(HB: int, N: int, D: int):
-    # [B, H, N, D] with block (1, HB, N, D): the last two dims equal the full
-    # array dims, which Pallas accepts unaligned — no sequence padding
-    return pl.BlockSpec((1, HB, N, D), lambda b, h: (b, h, 0, 0),
+def _specs(BB: int, HB: int, N: int, D: int):
+    # [B, H, N, D] with block (BB, HB, N, D): the last two dims equal the
+    # full array dims, which Pallas accepts unaligned — no sequence padding.
+    # BB batches per grid step amortize per-step dispatch/pipeline overhead
+    # (B=128 single-image steps were the bottleneck, not the matmuls).
+    return pl.BlockSpec((BB, HB, N, D), lambda b, h: (b, h, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
-def _head_block(H: int, N: int, n_out: int) -> int:
-    """Largest head-block keeping the [HB, N, N] f32 score tensors ~6 MB."""
+def _blocks(B: int, H: int, N: int, n_out: int):
+    """(BB, HB) keeping the [BB*HB, N, N] f32 score tensors ~6 MB."""
     limit = max(1, (6 * 1024 * 1024) // (N * N * 4 * (2 if n_out == 1 else 3)))
-    for hb in range(min(H, limit), 0, -1):
-        if H % hb == 0:
-            return hb
-    return 1
+    hb = 1
+    for cand in range(min(H, limit), 0, -1):
+        if H % cand == 0:
+            hb = cand
+            break
+    bb = 1
+    while bb * 2 <= B and (bb * 2) * hb <= limit and B % (bb * 2) == 0:
+        bb *= 2
+    return bb, hb
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -99,14 +120,15 @@ def fused_attention(q, k, v, scale=None):
 def _call(kernel, n_out, q, k, v, extras=()):
     B, N, H, D = q.shape
     interpret = jax.devices()[0].platform == "cpu"
-    HB = _head_block(H, N, n_out)
+    BB, HB = _blocks(B, H, N, n_out)
     inputs = [jnp.transpose(x, (0, 2, 1, 3)) for x in (q, k, v, *extras)]
     out_shapes = [jax.ShapeDtypeStruct((B, H, N, D), q.dtype)] * n_out
+    spec = _specs(BB, HB, N, D)
     outs = pl.pallas_call(
         kernel,
-        grid=(B, H // HB),
-        in_specs=[_specs(HB, N, D)] * len(inputs),
-        out_specs=[_specs(HB, N, D)] * n_out if n_out > 1 else _specs(HB, N, D),
+        grid=(B // BB, H // HB),
+        in_specs=[spec] * len(inputs),
+        out_specs=[spec] * n_out if n_out > 1 else spec,
         out_shape=out_shapes if n_out > 1 else out_shapes[0],
         interpret=interpret,
     )(*inputs)
