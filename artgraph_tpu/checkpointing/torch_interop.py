@@ -333,6 +333,31 @@ def import_model_state(model_name: str, sd: Dict[str, np.ndarray]) -> dict:
     return variables
 
 
+def import_trunk_state(model_name: str, sd: Dict[str, np.ndarray]) -> dict:
+    """Trunk-only import for warm starts (--init_checkpoint).
+
+    Accepts RAW torchvision resnet50 ('conv1.weight', ...) and raw timm
+    ViT ('cls_token', 'patch_embed.proj.weight', ...) state_dicts — the
+    pretrained files the reference fine-tunes from (ref: models.py:51,97) —
+    as well as this repo's wrapper-prefixed checkpoints of any model that
+    shares the trunk. Heads are NOT imported.
+    """
+    spec = _MODEL_SPECS[model_name]
+    kind, tprefix, fname = spec["trunk"]
+    if kind in ("resnet_seq", "resnet_named"):
+        if "conv1.weight" in sd:  # raw torchvision: named children, no prefix
+            sd2 = {f"__t__.{k}": v for k, v in sd.items()}
+            params, stats = resnet_from_torch(sd2, "__t__", seq=False)
+        else:
+            params, stats = resnet_from_torch(sd, tprefix,
+                                              seq=(kind == "resnet_seq"))
+        return {"params": {fname: params}, "batch_stats": {fname: stats}}
+    if "cls_token" in sd:  # raw timm vit
+        sd2 = {f"__t__.{k}": v for k, v in sd.items()}
+        return {"params": {fname: vit_from_torch(sd2, "__t__")}}
+    return {"params": {fname: vit_from_torch(sd, tprefix)}}
+
+
 def export_model_state(model_name: str, variables: dict) -> Dict[str, np.ndarray]:
     """flax variables -> torch state_dict (reference-loadable key set)."""
     spec = _MODEL_SPECS[model_name]

@@ -80,6 +80,14 @@ def get_base_arguments() -> argparse.ArgumentParser:
                              'HBM and gather batches on device (zero bulk '
                              'H2D per step). Needs the uint8 dataset + '
                              'embeddings to fit in HBM (~150KB/image).')
+    parser.add_argument('--init_checkpoint', type=str, default=None,
+                        help='Warm-start from a .pt checkpoint: a full '
+                             'reference checkpoint of this model, or a '
+                             'trunk-only file (raw torchvision resnet50 / '
+                             'timm ViT state_dict — the pretrained weights '
+                             'the reference fine-tunes from). Matching '
+                             'subtrees are imported; everything else stays '
+                             'freshly initialized.')
     return parser
 
 
@@ -158,6 +166,81 @@ def checkpoint_saver(trainer: Trainer, model_name: str):
 
 def reload_state(trainer: Trainer, model_name: str, path: str):
     return trainer.state_from_variables(load_reference_checkpoint(model_name, path))
+
+
+def _overlay_tree(dest: dict, src: dict, path: str, imported: list,
+                  skipped: list) -> dict:
+    """Recursive merge: leaves present in both with matching shapes come
+    from src (cast to dest dtype); everything else keeps dest (fresh)."""
+    out = {}
+    for k, d in dest.items():
+        p = f"{path}/{k}" if path else str(k)
+        if k not in src:
+            skipped.append(p)
+            out[k] = d
+        elif isinstance(d, dict):
+            out[k] = _overlay_tree(d, src[k], p, imported, skipped)
+        else:
+            s = np.asarray(src[k])
+            if s.shape == d.shape:
+                imported.append(p)
+                out[k] = s.astype(np.asarray(d).dtype)
+            else:
+                skipped.append(f"{p} (shape {s.shape} != {d.shape})")
+                out[k] = d
+    return out
+
+
+def apply_init_checkpoint(trainer: Trainer, state, model_name: str,
+                          path: str):
+    """--init_checkpoint: overlay matching subtrees from a .pt checkpoint
+    onto the freshly-initialized state (the reference's pretrained
+    fine-tuning, ref: models.py:51-53,97: torchvision/timm weights).
+
+    Tries the full reference layout of `model_name` first, then falls back
+    to trunk-only import (raw torchvision/timm or another model sharing
+    the trunk). Prints which subtrees were imported vs left fresh.
+    """
+    import jax
+    import torch
+
+    from artgraph_tpu.checkpointing import (import_model_state,
+                                            import_trunk_state)
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    sd = {k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
+          for k, v in raw.items()}
+    try:
+        variables = import_model_state(model_name, sd)
+        scope = "full model"
+    except KeyError:
+        variables = import_trunk_state(model_name, sd)
+        scope = "trunk only"
+
+    imported: list = []
+    skipped: list = []
+    host = jax.device_get(trainer.variables(state))
+    params = _overlay_tree(host["params"], variables.get("params", {}),
+                           "params", imported, skipped)
+    stats = _overlay_tree(host.get("batch_stats", {}),
+                          variables.get("batch_stats", {}),
+                          "batch_stats", imported, skipped)
+
+    def tops(paths):
+        return sorted({"/".join(p.split("/")[:2]) for p in paths})
+
+    print(f"init_checkpoint {path}: {scope}; imported {len(imported)} "
+          f"tensors ({', '.join(tops(imported))}); "
+          f"fresh {len(skipped)} ({', '.join(tops(skipped)) or 'none'})")
+    return trainer.state_from_variables({"params": params,
+                                         "batch_stats": stats})
+
+
+def maybe_warm_start(args, trainer: Trainer, state, model_name: str):
+    if getattr(args, "init_checkpoint", None):
+        return apply_init_checkpoint(trainer, state, model_name,
+                                     args.init_checkpoint)
+    return state
 
 
 # --------------------------------------------------------------------------

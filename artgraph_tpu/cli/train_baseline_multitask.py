@@ -11,14 +11,15 @@ import os
 
 from artgraph_tpu import config
 from artgraph_tpu.cli._common import (
-    NUM_CLASSES,
     checkpoint_saver,
     evaluate_single_task,
     get_base_arguments,
     log_test_metric,
     make_loaders,
     make_mesh,
+    maybe_warm_start,
     multi_task_loss,
+    NUM_CLASSES,
     reload_state,
     run_epoch_loop,
 )
@@ -68,6 +69,7 @@ def main(argv=None):
         seed=config.GLOBAL_SEED,
     )
     state = trainer.init(next(iter(loaders['train'])))
+    state = maybe_warm_start(args, trainer, state, model_name)
 
     # reference keeps 'single-task' in this checkpoint name (ref :48)
     checkpoint_name = os.path.join(

@@ -13,14 +13,15 @@ import os
 
 from artgraph_tpu import config
 from artgraph_tpu.cli._common import (
-    NUM_CLASSES,
     checkpoint_saver,
     evaluate_single_task,
     get_base_arguments,
     log_test_metric,
     make_loaders,
     make_mesh,
+    maybe_warm_start,
     multi_task_loss,
+    NUM_CLASSES,
     reload_state,
     run_epoch_loop,
 )
@@ -100,6 +101,7 @@ def main(argv=None):
         seed=config.GLOBAL_SEED,
     )
     state = trainer.init(next(iter(loaders['train'])))
+    state = maybe_warm_start(args, trainer, state, model_name)
 
     checkpoint_name = os.path.join(config.CHECKPOINTS_DIR,
                                    'new-multimodal_multi-task_checkpoint.pt')

@@ -15,6 +15,7 @@ from artgraph_tpu.cli._common import (
     get_base_arguments,
     make_loaders,
     make_mesh,
+    maybe_warm_start,
     reload_state,
 )
 from artgraph_tpu.data import load_dataset_projection
@@ -64,6 +65,7 @@ def main(argv=None):
         seed=config.GLOBAL_SEED,
     )
     state = trainer.init(next(iter(loaders['train'])))
+    state = maybe_warm_start(args, trainer, state, model_name)
 
     checkpoint_name = f'{args.exp}_checkpoint_projector.pt'
     checkpoint_path = os.path.join(config.PROJECTIONS_DIR, checkpoint_name)
