@@ -98,6 +98,10 @@ def main(argv=None):
     parser.add_argument('--data_parallel', type=int, default=0,
                         help='Devices for edge-sharded message passing '
                              '(0 = single device).')
+    parser.add_argument('--no_self_loops', action='store_true',
+                        help='Disable the PyG GATConv add_self_loops=True '
+                             'semantics (reference default adds min(N_src, '
+                             'N_dst) self-loops per relation).')
     args = parser.parse_args(argv)
 
     graphs = {
@@ -108,6 +112,11 @@ def main(argv=None):
                             ("train_validation", "validation"),
                             ("train_test", "test"))
     }
+    if args.operator == 'GATConv' and not args.no_self_loops:
+        # pyg 2.0.2 GATConv defaults add per-relation self-loops; the
+        # published embeddings include them (data.artgraph.gat_self_loops)
+        from artgraph_tpu.data.artgraph import gat_self_loops
+        graphs = {name: gat_self_loops(g) for name, g in graphs.items()}
     # single-device path: sort edges by destination once and use the Pallas
     # CSR segment kernels (ops.csr_segment) instead of XLA scatters
     csrs = {name: None for name in graphs}

@@ -171,6 +171,56 @@ class ArtGraph:
         return self._graph.num_features
 
 
+def gat_self_loops(graph: HeteroGraph) -> HeteroGraph:
+    """Reproduce PyG 2.0.2 GATConv(add_self_loops=True) under to_hetero.
+
+    The reference constructs GATConv with defaults (models_graph.py:17), and
+    pyg 2.0.x's GATConv.forward does this per relation BEFORE message
+    passing — even for bipartite relations (gat_conv.py of that era: "We
+    only want to add self-loops for nodes that appear both as source and
+    target nodes", num_nodes = min(N_src, N_dst)):
+
+      1. remove existing (i, i) index-equal edges;
+      2. append (i, i) for i < min(N_src, N_dst).
+
+    The published embeddings were trained with these edges present, so this
+    transform is applied at graph build when the operator is GATConv
+    (host-side: the topology is static and removing edges is not a
+    static-shape operation inside jit). See PARITY.md "Known deviations".
+    """
+    edges: Dict[EdgeType, np.ndarray] = {}
+    for (h, r, t), ei in graph.edges.items():
+        keep = ei[:, ei[0] != ei[1]]
+        n = min(graph.num_nodes[h], graph.num_nodes[t])
+        loops = np.tile(np.arange(n, dtype=ei.dtype), (2, 1))
+        edges[(h, r, t)] = np.ascontiguousarray(
+            np.concatenate([keep, loops], axis=1))
+    return HeteroGraph(node_features=graph.node_features,
+                       num_nodes=graph.num_nodes, edges=edges,
+                       labels=graph.labels)
+
+
+def del_some_nodes(graph: HeteroGraph) -> HeteroGraph:
+    """Prune the node types/relations the reference's del_some_nodes drops
+    (ref: train_gnn_embeddings.py:68-80 — dead code there, never called by
+    any script; provided for API completeness). Returns a reduced graph."""
+    drop_nodes = {"gallery", "field", "movement", "genre"}
+    drop_edges = {("artist", "movement_rel", "movement"),
+                  ("artist", "field_rel", "field"),
+                  ("artwork", "locatedin_rel", "gallery"),
+                  ("artist", "teacher_rel", "artist"),
+                  ("artwork", "genre_rel", "genre")}
+    return HeteroGraph(
+        node_features={t: f for t, f in graph.node_features.items()
+                       if t not in drop_nodes},
+        num_nodes={t: n for t, n in graph.num_nodes.items()
+                   if t not in drop_nodes},
+        edges={et: ei for et, ei in graph.edges.items()
+               if et not in drop_edges
+               and et[0] not in drop_nodes and et[2] not in drop_nodes},
+        labels=graph.labels)
+
+
 def with_csr(graph: HeteroGraph):
     """Sort every relation's edges by destination and build the Pallas CSR
     metadata (ops.csr_segment). Returns (graph_sorted, csr_dict).

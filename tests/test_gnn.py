@@ -217,3 +217,38 @@ def test_utils_dropin_surface():
                  "prepare_dataloader", "tracker", "tracker_multitask",
                  "track_params"):
         assert callable(getattr(U, name)), name
+
+
+def test_gat_self_loops_transform(synthetic_graph):
+    """pyg 2.0.2 GATConv(add_self_loops=True) semantics: existing (i,i)
+    edges removed, (i,i) appended for i < min(N_src, N_dst), per relation."""
+    import os
+
+    from artgraph_tpu.data.artgraph import ArtGraph, gat_self_loops
+
+    g = ArtGraph(os.path.join(synthetic_graph["root"], "train"))[0]
+    g2 = gat_self_loops(g)
+    for (h, r, t), ei in g2.edges.items():
+        n = min(g.num_nodes[h], g.num_nodes[t])
+        orig = g.edges[(h, r, t)]
+        kept = orig[:, orig[0] != orig[1]]
+        assert ei.shape[1] == kept.shape[1] + n
+        loops = ei[:, -n:]
+        np.testing.assert_array_equal(loops[0], loops[1])
+        np.testing.assert_array_equal(loops[0], np.arange(n))
+        # non-loop prefix preserved verbatim
+        np.testing.assert_array_equal(ei[:, :kept.shape[1]], kept)
+
+
+def test_del_some_nodes(synthetic_graph):
+    import os
+
+    from artgraph_tpu.data.artgraph import ArtGraph, del_some_nodes
+
+    g = ArtGraph(os.path.join(synthetic_graph["root"], "train"))[0]
+    g2 = del_some_nodes(g)
+    assert set(g2.num_nodes) == {"artwork", "artist", "style", "tag", "media"}
+    for (h, r, t) in g2.edges:
+        assert h in g2.num_nodes and t in g2.num_nodes
+    assert ("artist", "teacher_rel", "artist") not in g2.edges
+    assert ("artwork", "style_rel", "style") in g2.edges
