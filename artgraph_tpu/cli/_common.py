@@ -88,6 +88,14 @@ def get_base_arguments() -> argparse.ArgumentParser:
                              'the reference fine-tunes from). Matching '
                              'subtrees are imported; everything else stays '
                              'freshly initialized.')
+    parser.add_argument('--resume', type=str, default=None,
+                        help='Checkpoint directory for crash recovery: the '
+                             'full train state (params+opt_state+BN stats+'
+                             'epoch+early-stop state) is saved there after '
+                             'every epoch via Orbax, and training continues '
+                             'from it when the directory exists. The '
+                             'reference has no resume (save-only best '
+                             'checkpoints).')
     return parser
 
 
@@ -279,15 +287,83 @@ def evaluate_single_task(trainer, state, loader, num_classes: int,
     return summary["accuracy"]
 
 
+def save_resume_state(resume_dir: str, trainer: Trainer, state, epoch: int,
+                      early_stop: EarlyStopping) -> None:
+    """Persist the FULL train state (params+opt_state+BN stats) with Orbax,
+    plus a json sidecar for loop/early-stop scalars."""
+    import json
+
+    import jax
+
+    from artgraph_tpu.checkpointing import save_checkpoint
+
+    os.makedirs(resume_dir, exist_ok=True)
+    payload = jax.device_get({
+        "step": int(state.step),
+        "params": state.params,
+        "batch_stats": dict(state.batch_stats),
+        "opt_state": state.opt_state,
+    })
+    save_checkpoint(os.path.join(resume_dir, "state"), payload)
+    meta = {"epoch": epoch,
+            "best_loss": early_stop.best_loss,
+            "wait": early_stop.wait,
+            "stop": early_stop.stop}
+    with open(os.path.join(resume_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_resume_state(resume_dir: str, trainer: Trainer, fresh_state,
+                      early_stop: EarlyStopping):
+    """Restore (state, next_epoch) saved by save_resume_state; the fresh
+    state provides the shape/dtype template Orbax restores into."""
+    import json
+
+    import jax
+
+    from artgraph_tpu.checkpointing import restore_checkpoint
+    from artgraph_tpu.train.train_state import TrainState
+
+    with open(os.path.join(resume_dir, "meta.json")) as f:
+        meta = json.load(f)
+    template = jax.device_get({
+        "step": int(fresh_state.step),
+        "params": fresh_state.params,
+        "batch_stats": dict(fresh_state.batch_stats),
+        "opt_state": fresh_state.opt_state,
+    })
+    restored = restore_checkpoint(os.path.join(resume_dir, "state"),
+                                  target=template)
+    state = TrainState(step=restored["step"], params=restored["params"],
+                       batch_stats=restored["batch_stats"],
+                       opt_state=restored["opt_state"])
+    early_stop.best_loss = meta["best_loss"]
+    early_stop.wait = meta["wait"]
+    early_stop.stop = meta["stop"]
+    print(f"resumed from {resume_dir}: epoch {meta['epoch']}, "
+          f"step {restored['step']}")
+    return state, int(meta["epoch"])
+
+
 def run_epoch_loop(args, trainer, state, loaders, early_stop: EarlyStopping,
                    train_fn, valid_fn):
     """The reference epoch loop: always runs all --epochs; early stopping only
-    selects the saved checkpoint (ref: train_baseline.py:133-137 note)."""
+    selects the saved checkpoint (ref: train_baseline.py:133-137 note).
+    With --resume, the loop checkpoints the full train state after every
+    epoch and continues from the saved epoch on restart."""
     if args.tracking:
         track_params(args)
-    for epoch in range(args.epochs):
+    start_epoch = 0
+    resume_dir = getattr(args, "resume", None)
+    if resume_dir and os.path.exists(os.path.join(resume_dir, "meta.json")):
+        state, start_epoch = load_resume_state(resume_dir, trainer, state,
+                                               early_stop)
+    for epoch in range(start_epoch, args.epochs):
         state = train_fn(state, epoch)
         state = valid_fn(state, epoch)
+        if resume_dir:
+            save_resume_state(resume_dir, trainer, state, epoch + 1,
+                              early_stop)
     return state
 
 

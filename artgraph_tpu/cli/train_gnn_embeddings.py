@@ -102,6 +102,10 @@ def main(argv=None):
                         help='Disable the PyG GATConv add_self_loops=True '
                              'semantics (reference default adds min(N_src, '
                              'N_dst) self-loops per relation).')
+    parser.add_argument('--resume', type=str, default=None,
+                        help='Checkpoint directory for crash recovery: full '
+                             'train state saved via Orbax every 5 epochs; '
+                             'training continues from it when present.')
     args = parser.parse_args(argv)
 
     graphs = {
@@ -172,8 +176,33 @@ def main(argv=None):
 
     train_step, eval_step = make_steps(model, tx, mesh)
 
+    def save_resume(epoch):
+        import json
+        from artgraph_tpu.checkpointing import save_checkpoint
+        os.makedirs(args.resume, exist_ok=True)
+        save_checkpoint(os.path.join(args.resume, "state"), jax.device_get(
+            {"params": params, "batch_stats": batch_stats,
+             "opt_state": opt_state}))
+        with open(os.path.join(args.resume, "meta.json"), "w") as f:
+            json.dump({"epoch": epoch}, f)
+
+    start_epoch = 0
+    if args.resume and os.path.exists(os.path.join(args.resume, "meta.json")):
+        import json
+        from artgraph_tpu.checkpointing import restore_checkpoint
+        template = jax.device_get({"params": params,
+                                   "batch_stats": batch_stats,
+                                   "opt_state": opt_state})
+        restored = restore_checkpoint(os.path.join(args.resume, "state"),
+                                      target=template)
+        params, batch_stats = restored["params"], restored["batch_stats"]
+        opt_state = restored["opt_state"]
+        with open(os.path.join(args.resume, "meta.json")) as f:
+            start_epoch = int(json.load(f)["epoch"])
+        print(f"resumed from {args.resume}: epoch {start_epoch}")
+
     train_loss = train_acc = 0.0
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         step_rng = jax.random.fold_in(rng, epoch)
         params, batch_stats, opt_state, loss, logp = train_step(
             params, batch_stats, opt_state, step_rng,
@@ -192,6 +221,11 @@ def main(argv=None):
             print(f'{label}_val_accuracy',
                   round(get_accuracy(np.asarray(val_logp),
                                      np.asarray(y["train_validation"])), 2) * 100)
+            if args.resume:
+                save_resume(epoch + 1)
+
+    if args.resume:
+        save_resume(args.epochs)
 
     val_loss, val_logp, _ = eval_step(
         params, batch_stats, feats["train_validation"],

@@ -284,6 +284,87 @@ def bench_epoch(n_images: int = 512, batch: int = 128, epochs: int = 3):
     return n_images / cached, first_epoch, times, host_epoch
 
 
+def bench_profile(model_name: str = "vit", batch: int = 128,
+                  trace_dir: str = "/tmp/artgraph_trace"):
+    """Reproducible per-module dissection of the train step + a
+    jax.profiler trace (profiling.trace) for offline inspection.
+
+    Device-op events do not stream back over this container's tunnel, so
+    the breakdown comes from timing each module's jitted fwd+bwd directly
+    (the same method as the development notes' dissections).
+    """
+    from artgraph_tpu.profiling import trace
+
+    def timeit(f, *args, n=20):
+        g = jax.jit(jax.value_and_grad(
+            lambda *a: jnp.sum(f(*a).astype(jnp.float32))))
+        out = g(*args)
+        float(out[0])
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = g(*args)
+        float(out[0])
+        return (time.perf_counter() - t0) / n * 1000
+
+    key = jax.random.PRNGKey(0)
+    parts = {}
+    if model_name == "vit":
+        import flax.linen as nn
+
+        from artgraph_tpu.models.vit import Attention, Block, Mlp, ViT
+        from artgraph_tpu.ops.attention import fused_attention
+
+        B, N, C, H = batch, 197, 768, 12
+        x = jax.random.normal(key, (B, N, C), jnp.bfloat16)
+        img = jax.random.normal(key, (B, 224, 224, 3), jnp.bfloat16)
+        att = Attention(H)
+        va = att.init(key, x)
+        parts["attention_module_x12"] = 12 * timeit(
+            lambda p: att.apply(p, x), va)
+        q = jax.random.normal(key, (B, N, H, 64), jnp.bfloat16)
+        parts["attention_core_x12"] = 12 * timeit(
+            lambda q: fused_attention(q, q, q), q)
+        mlp = Mlp(3072)
+        vm = mlp.init(key, x)
+        parts["mlp_x12"] = 12 * timeit(lambda p: mlp.apply(p, x), vm)
+        ln = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)
+        vl = ln.init(key, x)
+        parts["layernorm_x24"] = 24 * timeit(lambda p: ln.apply(p, x), vl)
+        vit = ViT()
+        vv = vit.init(key, img)
+        full_fn, full_args = (lambda p: vit.apply(p, img)), (vv,)
+        parts["full_trunk"] = timeit(full_fn, *full_args)
+    else:
+        from artgraph_tpu.models import ResnetSingleTask
+        from artgraph_tpu.ops.preprocess import normalize_images
+
+        model = ResnetSingleTask(num_class=32, dropout=0.4)
+        img_u8 = jnp.asarray(np.random.default_rng(0).integers(
+            0, 256, (batch, 224, 224, 3), dtype=np.uint8))
+        img = normalize_images(img_u8, "resnet")
+        variables = model.init(key, img, train=False)
+
+        def full(v):
+            out, _ = model.apply(v, img, train=True,
+                                 rngs={"dropout": key},
+                                 mutable=["batch_stats"])
+            return out
+        full_fn, full_args = full, (variables,)
+        parts["full_model"] = timeit(full_fn, *full_args)
+
+    # emit a trace of a few full fwd+bwd passes for offline tools
+    g = jax.jit(jax.value_and_grad(
+        lambda *a: jnp.sum(full_fn(*a).astype(jnp.float32))))
+    out = g(*full_args)
+    float(out[0])
+    with trace(trace_dir):
+        for _ in range(3):
+            out = g(*full_args)
+        float(out[0])
+
+    return {k: round(v, 2) for k, v in parts.items()}, trace_dir
+
+
 def measure_torch_cpu(batch: int = 8, steps: int = 5) -> float:
     import sys
     sys.path.insert(0, "tests")
@@ -315,7 +396,25 @@ def main():
     parser.add_argument("--epoch", action="store_true",
                         help="benchmark the END-TO-END cached ResNet epoch "
                              "(loader + prefetch + step) instead")
+    parser.add_argument("--profile", action="store_true",
+                        help="per-module train-step dissection + "
+                             "jax.profiler trace instead")
+    parser.add_argument("--model", type=str, default="vit",
+                        help="--profile target: vit | resnet50")
     args = parser.parse_args()
+
+    if args.profile:
+        parts, trace_dir = bench_profile(args.model, args.batch)
+        top = sorted(parts.items(), key=lambda kv: -kv[1])[:5]
+        print(json.dumps({
+            "metric": f"{args.model}_step_dissection_ms",
+            "value": parts.get("full_trunk", parts.get("full_model")),
+            "unit": "ms/step fwd+bwd",
+            "vs_baseline": 1.0,
+            "extras": {"breakdown_ms": dict(top), "batch": args.batch,
+                       "trace": trace_dir},
+        }))
+        return
 
     if args.measure_torch:
         print(json.dumps({"metric": "torch_cpu_resnet50_fwd_bwd",
