@@ -23,15 +23,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def distributed_init(coordinator: Optional[str] = None) -> None:
-    """Initialize multi-host JAX if running under a multi-process launcher.
+def distributed_init(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Initialize multi-host JAX.
 
-    Safe no-op on a single host.
+    Safe no-op when no coordinator is given (single host) or when the
+    distributed runtime is already up (e.g. launched under a TPU pod
+    launcher that auto-initializes). On TPU pods the num_processes /
+    process_id arguments are auto-detected; on CPU/GPU they are required.
+    Exercised by tests/test_multihost.py on a real 2-process CPU cluster.
     """
-    if jax.process_count() > 1:
-        return  # already initialized by the launcher
-    if coordinator:
-        jax.distributed.initialize(coordinator_address=coordinator)
+    if not coordinator:
+        return
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return  # launcher initialized it first
+        raise
 
 
 def create_mesh(data: Optional[int] = None, model: int = 1,
