@@ -24,37 +24,68 @@ import jax.numpy as jnp
 Dtype = Any
 
 
+class _DenseParams(nn.Module):
+    """Declares an nn.Dense-shaped (kernel, bias) pair WITHOUT the matmul.
+
+    Same param names, shapes, dtypes, and initializers as nn.Dense, so the
+    parameter tree (and the path-derived init RNG stream) is identical —
+    torch-interop key maps and checkpoints are unaffected. Used when the
+    projection itself runs inside a Pallas kernel.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class Attention(nn.Module):
     """timm-style MHA: fused qkv (bias), scaled dot-product, output proj.
 
-    On TPU the scaled-dot-product runs in the fused pad-free Pallas kernel
-    (ops.attention.fused_attention): +18.5% full-model train throughput on
-    v5e (883 vs 745 img/s) — scores/probabilities stay in VMEM instead of
-    materializing [B, H, N, N] in HBM. CPU (tests) uses the XLA path; set
-    use_pallas=False to force XLA everywhere.
+    On TPU the qkv projection AND the scaled-dot-product run in one Pallas
+    kernel (ops.attention.fused_qkv_attention): the [B, N, 3C] projection
+    never round-trips HBM and the [B,N,H,D]<->[B,H,N,D] layout transposes
+    disappear (they were ~8 ms of the 146 ms ViT-B step). Scores and
+    probabilities stay in VMEM as in fused_attention (+18.5% over XLA
+    before qkv fusion). CPU (tests) uses the XLA path; set use_pallas=False
+    to force XLA everywhere; fuse_qkv=False selects the unfused kernel.
     """
 
     num_heads: int
     dtype: Dtype = jnp.bfloat16
     use_pallas: bool = True
+    fuse_qkv: bool = True
 
     @nn.compact
     def __call__(self, x):
         B, N, C = x.shape
         head_dim = C // self.num_heads
         dense = partial(nn.Dense, dtype=self.dtype, param_dtype=jnp.float32)
+        on_tpu = jax.devices()[0].platform != "cpu"
 
-        qkv = dense(3 * C, name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        if self.use_pallas and self.fuse_qkv and on_tpu:
+            from artgraph_tpu.ops.attention import fused_qkv_attention
 
-        if self.use_pallas and jax.devices()[0].platform != "cpu":
-            from artgraph_tpu.ops.attention import fused_attention
-
-            out = fused_attention(q, k, v)
+            w, b = _DenseParams(3 * C, name="qkv")(C)
+            out = fused_qkv_attention(x.astype(self.dtype), w, b,
+                                      self.num_heads)
         else:
-            out = jax.nn.dot_product_attention(q, k, v)
-        out = out.reshape(B, N, C)
+            qkv = dense(3 * C, name="qkv")(x)
+            qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+            if self.use_pallas and on_tpu:
+                from artgraph_tpu.ops.attention import fused_attention
+
+                out = fused_attention(q, k, v)
+            else:
+                out = jax.nn.dot_product_attention(q, k, v)
+            out = out.reshape(B, N, C)
         return dense(C, name="proj")(out)
 
 

@@ -154,3 +154,156 @@ def _fused_attention_bwd(scale, residuals, d_out):
 
 
 fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+
+
+# ---------------------------------------------------------------------------
+# qkv-fused attention: the qkv projection runs INSIDE the kernel.
+#
+# XLA's qkv path writes the [B, N, 3C] projection to HBM (~116 MB at the
+# ViT-B geometry), reads it back for the [B,N,H,D]->[B,H,N,D] layout
+# transposes, and reads it a third time in the attention kernel. Fusing the
+# projection removes that round-trip entirely: per grid step the kernel
+# reads an x block once, computes qkv on the MXU, splits heads in VMEM,
+# runs the same flash-style attention as `fused_attention`, and writes the
+# [BB, N, C] output block once. The backward kernel recomputes qkv +
+# probabilities and emits d(qkv); the dx/dw/db closures are single XLA
+# matmuls (dw needs a cross-batch reduction XLA already does at full MXU
+# rate, so it stays outside the kernel).
+#
+# Residuals are (x, w, b, out): 2 x 39 MB at ViT-B/128 vs 4 x 39 MB for the
+# transposed q/k/v/out the unfused path saves.
+# ---------------------------------------------------------------------------
+
+
+def _qkv_fwd_kernel(scale: float, H: int, x_ref, w_ref, b_ref, o_ref):
+    # Mosaic rejects the (N, 3C) -> (N, 3, H, D) shape cast (lane-dim split),
+    # so heads are separated with 2-D column slices in a statically unrolled
+    # loop — no reshapes or transposes touch the lane dim.
+    _, N, C = x_ref.shape
+    D = C // H
+    x = x_ref[...].reshape(N, C)
+    qkv = jnp.dot(x, w_ref[...], preferred_element_type=jnp.float32)
+    qkv = (qkv + b_ref[...].astype(jnp.float32)).astype(x.dtype)
+    outs = []
+    for h in range(H):
+        q = qkv[:, h * D:(h + 1) * D]                  # [N, D]
+        k = qkv[:, C + h * D:C + (h + 1) * D]
+        v = qkv[:, 2 * C + h * D:2 * C + (h + 1) * D]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(x.dtype), v,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) / l
+        outs.append(o.astype(o_ref.dtype))
+    o_ref[...] = jnp.concatenate(outs, axis=-1).reshape(o_ref.shape)
+
+
+def _qkv_bwd_kernel(scale: float, H: int, x_ref, w_ref, b_ref, o_ref, do_ref,
+                    dqkv_ref):
+    _, N, C = x_ref.shape
+    D = C // H
+    x = x_ref[...].reshape(N, C)
+    o_full = o_ref[...].reshape(N, C)
+    do_full = do_ref[...].reshape(N, C)
+    qkv = jnp.dot(x, w_ref[...], preferred_element_type=jnp.float32)
+    qkv = (qkv + b_ref[...].astype(jnp.float32)).astype(x.dtype)
+    dqs, dks, dvs = [], [], []
+    for h in range(H):
+        q = qkv[:, h * D:(h + 1) * D]                  # [N, D]
+        k = qkv[:, C + h * D:C + (h + 1) * D]
+        v = qkv[:, 2 * C + h * D:2 * C + (h + 1) * D]
+        o = o_full[:, h * D:(h + 1) * D]
+        do = do_full[:, h * D:(h + 1) * D]
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        l = jnp.sum(e, axis=-1, keepdims=True)
+        p = (e / l).astype(x.dtype)
+
+        dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        d_row = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                        axis=-1, keepdims=True)
+        ds = (p.astype(jnp.float32) * (dp - d_row) * scale).astype(x.dtype)
+
+        dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dqs.append(dq.astype(dqkv_ref.dtype))
+        dks.append(dk.astype(dqkv_ref.dtype))
+        dvs.append(dv.astype(dqkv_ref.dtype))
+    dqkv_ref[...] = jnp.concatenate(dqs + dks + dvs, axis=-1) \
+        .reshape(dqkv_ref.shape)
+
+
+def _qkv_call(kernel, x, w, b, extras, out_dim):
+    B, N, C = x.shape
+    BB = 1  # one image per grid step; all H heads processed per step
+    interpret = jax.devices()[0].platform == "cpu"
+    xspec = pl.BlockSpec((BB, N, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((BB, N, out_dim), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // BB,),
+        in_specs=[xspec, wspec, bspec] + [xspec] * len(extras),
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((B, N, out_dim), x.dtype),
+        interpret=interpret,
+    )(x, w, b, *extras)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_qkv_attention(x, w, b, num_heads, scale=None):
+    """softmax((x W_q + b_q)(x W_k + b_k)^T * scale)(x W_v + b_v), merged.
+
+    x: [B, N, C] activations (bf16); w: [C, 3C] fused qkv kernel; b: [3C]
+    bias (timm Dense(3C) layout: columns ordered (qkv-slot, head, dim)).
+    Returns [B, N, C] with heads re-merged, ready for the output projection.
+    """
+    out, _ = _fused_qkv_fwd(x, w, b, num_heads, scale)
+    return out
+
+
+def _fused_qkv_fwd(x, w, b, num_heads, scale):
+    B, N, C = x.shape
+    D = C // num_heads
+    scale_val = (D ** -0.5) if scale is None else scale
+    wc = w.astype(x.dtype)
+    bc = b.astype(x.dtype).reshape(1, -1)
+    kernel = functools.partial(_qkv_fwd_kernel, scale_val, num_heads)
+    out = _qkv_call(kernel, x, wc, bc, (), C)
+    return out, (x, wc, bc, out)
+
+
+def _fused_qkv_bwd(num_heads, scale, residuals, d_out):
+    x, wc, bc, out = residuals
+    B, N, C = x.shape
+    D = C // num_heads
+    scale_val = (D ** -0.5) if scale is None else scale
+    kernel = functools.partial(_qkv_bwd_kernel, scale_val, num_heads)
+    dqkv = _qkv_call(kernel, x, wc, bc, (out, d_out), 3 * C)
+    # dx/dw/db are plain dense contractions; XLA runs them at full MXU rate
+    # (dw's cross-batch reduction in particular), so they stay outside.
+    dx = jax.lax.dot_general(
+        dqkv, wc, (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    dw = jax.lax.dot_general(
+        x.reshape(B * N, C), dqkv.reshape(B * N, 3 * C),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    db = jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1))
+    return dx, dw, db
+
+
+fused_qkv_attention.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from artgraph_tpu.ops.attention import fused_attention
+from artgraph_tpu.ops.attention import fused_attention, fused_qkv_attention
 
 
 def _qkv(B=2, N=197, H=4, D=64, seed=0):
@@ -44,6 +44,60 @@ def test_padding_mask_correct():
     ref = jax.nn.dot_product_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def _qkv_ref(x, w, b, H):
+    """Composite XLA reference: Dense(3C) qkv -> dot_product_attention."""
+    B, N, C = x.shape
+    D = C // H
+    qkv = (x @ w + b).reshape(B, N, 3, H, D)
+    out = jax.nn.dot_product_attention(qkv[:, :, 0], qkv[:, :, 1],
+                                       qkv[:, :, 2])
+    return out.reshape(B, N, C)
+
+
+def _qkv_inputs(B=2, N=197, C=256, H=4, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(C, 3 * C)) / np.sqrt(C))
+                    .astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(3 * C,)).astype(np.float32) * 0.02)
+    return x, w, b
+
+
+def test_qkv_fused_forward_matches_composite():
+    x, w, b = _qkv_inputs()
+    ref = _qkv_ref(x, w, b, 4)
+    out = fused_qkv_attention(x, w, b, 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_qkv_fused_gradients_match_composite():
+    x, w, b = _qkv_inputs(B=2, N=64, C=128, H=2, seed=1)
+
+    def loss(f):
+        return lambda x, w, b: jnp.sum(jnp.sin(f(x, w, b)))
+
+    g_ref = jax.grad(loss(lambda x, w, b: _qkv_ref(x, w, b, 2)),
+                     argnums=(0, 1, 2))(x, w, b)
+    g_out = jax.grad(loss(lambda x, w, b: fused_qkv_attention(x, w, b, 2)),
+                     argnums=(0, 1, 2))(x, w, b)
+    for name, a, b_ in zip(("dx", "dw", "db"), g_ref, g_out):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=2e-3, atol=2e-3, err_msg=name)
+
+
+def test_qkv_fused_bf16_vit_geometry():
+    """The production geometry (bf16, N=197, H=12) at a reduced batch."""
+    x, w, b = _qkv_inputs(B=2, N=197, C=768, H=12, seed=2)
+    xb = x.astype(jnp.bfloat16)
+    ref = _qkv_ref(xb, w.astype(jnp.bfloat16), b.astype(jnp.bfloat16), 12)
+    out = fused_qkv_attention(xb, w, b, 12)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-2, atol=3e-2)
 
 
 def test_custom_scale():
