@@ -110,6 +110,7 @@ class Block(nn.Module):
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.bfloat16
     use_pallas_attention: bool = True
+    fuse_qkv: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -120,7 +121,8 @@ class Block(nn.Module):
         ln = partial(nn.LayerNorm, epsilon=1e-6, dtype=jnp.float32,
                      param_dtype=jnp.float32)
         x = x + Attention(self.num_heads, dtype=self.dtype,
-                          use_pallas=self.use_pallas_attention, name="attn")(
+                          use_pallas=self.use_pallas_attention,
+                          fuse_qkv=self.fuse_qkv, name="attn")(
             ln(name="norm1")(x).astype(self.dtype)).astype(x.dtype)
         x = x + Mlp(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp")(
             ln(name="norm2")(x).astype(self.dtype)).astype(x.dtype)
@@ -137,6 +139,7 @@ class ViT(nn.Module):
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.bfloat16
     use_pallas_attention: bool = True
+    fuse_qkv: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False, pool: bool = True):
@@ -163,7 +166,7 @@ class ViT(nn.Module):
         for i in range(self.depth):
             x = Block(self.num_heads, self.mlp_ratio, dtype=self.dtype,
                       use_pallas_attention=self.use_pallas_attention,
-                      name=f"block{i}")(x)
+                      fuse_qkv=self.fuse_qkv, name=f"block{i}")(x)
 
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
                          param_dtype=jnp.float32, name="norm")(x)
