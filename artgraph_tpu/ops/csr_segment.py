@@ -39,9 +39,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-S_BLK = 32   # segments per output block (f32 sublane-multiple)
+S_BLK = 64   # segments per output block; 64 measured best on v5e
+             # (32: 10.7, 64: 11.4, 128: pathological; M-rows of the one-hot
+             # matmul double while block-boundary chunk overhead halves)
 BE = 1024    # edges per DMA chunk; chunk starts are BE-aligned because 1-D
-             # int32/f32 VMEM slices must align to 1024-element tiles
+             # int32/f32 VMEM slices must align to 1024-element tiles.
+             # BE=4096 measured SLOWER (9.7M edges/s): boundary chunks run
+             # 4x the masked work for blocks whose edge range is ~2.5K edges
 
 
 @jax.tree_util.register_pytree_node_class
