@@ -49,10 +49,10 @@ def make_steps(model, tx, mesh=None):
 
         def apply_train(variables, x, edges, csr, rng):
             return forward(variables, x, edges, train=True,
-                           rngs={"dropout": rng})
+                           rngs={"dropout": rng}, csr=csr)
 
         def apply_eval(variables, x, edges, csr):
-            return forward(variables, x, edges, train=False)
+            return forward(variables, x, edges, train=False, csr=csr)
     else:
         def apply_train(variables, x, edges, csr, rng):
             return model.apply(variables, x, edges, train=True, csr=csr,
@@ -156,14 +156,16 @@ def main(argv=None):
 
     rng = jax.random.PRNGKey(config.GLOBAL_SEED)
     if mesh is not None:
-        from artgraph_tpu.parallel.gnn_parallel import (device_put_graph,
+        from artgraph_tpu.parallel.gnn_parallel import (device_put_graph_csr,
                                                         init_variables)
         variables = init_variables(model, rng, data_train.node_features,
                                    data_train.edges, train=False)
-        placed = {name: device_put_graph(g, mesh)
+        # kernel-backed sharded path: per-shard CSR metadata rides the mesh
+        placed = {name: device_put_graph_csr(g, mesh)
                   for name, g in graphs.items()}
         feats = {name: p[0] for name, p in placed.items()}
         edges = {name: p[1] for name, p in placed.items()}
+        csrs = {name: p[2] for name, p in placed.items()}
     else:
         variables = model.init(rng, data_train.node_features,
                                data_train.edges, train=False)

@@ -32,6 +32,7 @@ from __future__ import annotations
 from typing import Any, Dict, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from artgraph_tpu.data.artgraph import OneHot
@@ -90,8 +91,9 @@ class SAGEConv(nn.Module):
         src, dst = edge_index[0], edge_index[1]
         # project-first (linear commutes with mean); bias added post-agg
         h = TypedLinear(self.features, use_bias=False, name="lin_l")(x_src)
-        if csr is not None and self.axis_name is None:
-            agg = csr_segment_mean(csr_gather(h, csr, "src"), csr.dst)
+        if csr is not None:
+            agg = csr_segment_mean(csr_gather(h, csr, "src"), csr.dst,
+                                   axis_name=self.axis_name)
         else:
             agg = segment_mean(h[src], dst, num_dst, self.axis_name)
         bias = self.param("bias", nn.initializers.zeros,
@@ -110,8 +112,10 @@ class GraphConv(nn.Module):
     def __call__(self, x_src, x_dst, edge_index, num_dst: int, csr=None):
         src, dst = edge_index[0], edge_index[1]
         h = TypedLinear(self.features, use_bias=False, name="lin_rel")(x_src)
-        if csr is not None and self.axis_name is None:
+        if csr is not None:
             agg = csr_segment_sum(csr_gather(h, csr, "src"), csr.dst)
+            if self.axis_name is not None:
+                agg = jax.lax.psum(agg, self.axis_name)
         else:
             agg = segment_sum(h[src], dst, num_dst, self.axis_name)
         bias = self.param("bias", nn.initializers.zeros,
@@ -140,19 +144,21 @@ class GATConv(nn.Module):
                              (self.features, 1), jnp.float32)
         alpha_dst = (h_dst @ att_dst)[:, 0]
 
-        if csr is not None and self.axis_name is None:
+        if csr is not None:
             # fused Pallas path (ops.csr_segment): kernel-backed gathers
             # (their VJPs are sorted segment sums, not XLA scatters) and
             # softmax numerator + denominator in one kernel pass. The src
             # attention term is computed on the gathered messages —
             # (h @ a)[src] == (h[src]) @ a — so its gradient rides the
-            # message gather's VJP for free.
+            # message gather's VJP for free. Under edge sharding
+            # (axis_name set) the aggregate psum/pmax-combines over ICI.
             msgs = csr_gather(h_src, csr, "src")
             a_src_e = (msgs @ att_src)[:, 0]
             a_dst_e = csr_gather(alpha_dst, csr, "dst")
             logits = nn.leaky_relu(a_src_e + a_dst_e,
                                    negative_slope=self.negative_slope)
-            out = csr_attention_aggregate(msgs, logits, csr.dst)
+            out = csr_attention_aggregate(msgs, logits, csr.dst,
+                                          axis_name=self.axis_name)
         else:
             alpha_src = (h_src @ att_src)[:, 0]
             safe_dst = jnp.minimum(dst, num_dst - 1)  # padded edges
@@ -208,8 +214,10 @@ class GINConv(nn.Module):
         src, dst = edge_index[0], edge_index[1]
         h_src = TypedLinear(self.features, use_bias=False, name="lin_src")(x_src)
         h_dst = TypedLinear(self.features, use_bias=False, name="lin_dst")(x_dst)
-        if csr is not None and self.axis_name is None:
+        if csr is not None:
             agg = csr_segment_sum(csr_gather(h_src, csr, "src"), csr.dst)
+            if self.axis_name is not None:
+                agg = jax.lax.psum(agg, self.axis_name)
         else:
             agg = segment_sum(h_src[src], dst, num_dst, self.axis_name)
         return nn.Dense(self.features, name="update")(

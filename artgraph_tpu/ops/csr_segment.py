@@ -79,9 +79,17 @@ class CSR:
 
 
 def _csr_from_sorted(ids: np.ndarray, num_segments: int) -> CSR:
-    """Kernel metadata for an already nondecreasing segment-id array."""
+    """Kernel metadata for an already nondecreasing segment-id array.
+
+    ids equal to num_segments are SENTINEL padding edges (the edge-sharded
+    path pads every shard to a uniform size with dst=num_dst, mirroring the
+    XLA path's out-of-range-scatter drop): they are excluded from the
+    forward reduction (seg_local=-1) and from counts, and keep their
+    sentinel value in dst_sorted so the backward passes can mask them.
+    """
     e = ids.shape[0]
     ids = ids.astype(np.int64)
+    valid = ids < num_segments
     num_blocks = (num_segments + S_BLK - 1) // S_BLK
     # row_ptr at block granularity only (fits scalar-prefetch memory)
     boundaries = np.arange(num_blocks + 1, dtype=np.int64) * S_BLK
@@ -90,11 +98,11 @@ def _csr_from_sorted(ids: np.ndarray, num_segments: int) -> CSR:
     # pad the edge arrays to whole BE-aligned chunks
     e_pad = ((e + BE - 1) // BE) * BE
     seg_local = np.full(e_pad, -1, np.int32)
-    seg_local[:e] = (ids % S_BLK).astype(np.int32)
+    seg_local[:e] = np.where(valid, ids % S_BLK, -1).astype(np.int32)
     dst_sorted = np.zeros(e_pad, np.int32)
     dst_sorted[:e] = ids
 
-    counts = np.bincount(ids, minlength=num_segments).astype(np.float32)
+    counts = np.bincount(ids[valid], minlength=num_segments).astype(np.float32)
 
     return CSR(
         seg_local=jnp.asarray(seg_local),
@@ -422,10 +430,20 @@ def _sum_fwd(data, csr):
     return csr_segment_sum(data, csr), (csr, data.shape[0])
 
 
+def _edge_cotangent(g, csr, e):
+    """Gather output cotangents back to (sorted) edges, zeroing sentinel
+    padding edges (dst == num_segments, see _csr_from_sorted)."""
+    ids = csr.dst_sorted[:e]
+    valid = ids < csr.num_segments
+    grad = g[jnp.minimum(ids, csr.num_segments - 1)]
+    if grad.ndim == 1:
+        return jnp.where(valid, grad, 0.0)
+    return grad * valid[:, None].astype(grad.dtype)
+
+
 def _sum_bwd(res, g):
     csr, e = res
-    grad = g[jnp.minimum(csr.dst_sorted[:e], csr.num_segments - 1)]
-    return grad.astype(jnp.float32), None
+    return _edge_cotangent(g, csr, e).astype(jnp.float32), None
 
 
 csr_segment_sum.defvjp(_sum_fwd, _sum_bwd)
@@ -450,10 +468,10 @@ def _wsum_bwd(res, cots):
     data, w, csr = res
     g_out, g_w = cots
     e = data.shape[0]
-    ids = jnp.minimum(csr.dst_sorted[:e], csr.num_segments - 1)
-    g_edge = g_out[ids]                       # [E, F]
+    g_edge = _edge_cotangent(g_out, csr, e)   # [E, F], sentinels zeroed
     d_data = w[:, None] * g_edge
-    d_w = jnp.sum(data.astype(jnp.float32) * g_edge, axis=-1) + g_w[ids]
+    d_w = jnp.sum(data.astype(jnp.float32) * g_edge, axis=-1) \
+        + _edge_cotangent(g_w, csr, e)
     return d_data.astype(jnp.float32), d_w, None
 
 
@@ -472,7 +490,7 @@ def _ssum_fwd(w, csr):
 
 def _ssum_bwd(res, g):
     csr, e = res
-    return g[jnp.minimum(csr.dst_sorted[:e], csr.num_segments - 1)], None
+    return _edge_cotangent(g, csr, e), None
 
 
 csr_scalar_segment_sum.defvjp(_ssum_fwd, _ssum_bwd)
@@ -513,22 +531,40 @@ def _gather_bwd(axis, res, g):
 csr_gather.defvjp(_gather_fwd, _gather_bwd)
 
 
-def csr_segment_mean(data, csr: CSR):
+def csr_segment_mean(data, csr: CSR, axis_name: str = None):
+    """Per-segment mean. With axis_name (edge-sharded shard_map), local
+    partial sums and in-degree counts are psum-combined over the mesh axis
+    so the mean normalizes over ALL of a node's incoming edges."""
     totals = csr_segment_sum(data, csr)
-    return totals / jnp.maximum(csr.counts, 1.0)[:, None]
+    counts = csr.counts
+    if axis_name is not None:
+        totals = jax.lax.psum(totals, axis_name)
+        counts = jax.lax.psum(counts, axis_name)
+    return totals / jnp.maximum(counts, 1.0)[:, None]
 
 
-def csr_attention_aggregate(messages, logits, csr: CSR, eps: float = 1e-16):
+def csr_attention_aggregate(messages, logits, csr: CSR, eps: float = 1e-16,
+                            axis_name: str = None):
     """GAT aggregation: softmax(logits per segment)-weighted message sum.
 
     Identical math to segment_softmax + segment_sum (softmax is invariant to
     the shift constant, so a global max replaces the per-segment max):
       out[s] = sum_e w_e * m_e / sum_e w_e,  w_e = exp(logit_e - max logits)
+
+    With axis_name (edge-sharded shard_map): the shift is pmax-combined so
+    every shard uses the same constant, and the numerator/denominator
+    partial sums psum-combine — attention normalizes over ALL incoming
+    edges while each device only reduces its local edge shard.
     """
     shift = jax.lax.stop_gradient(jnp.max(logits))
     shift = jnp.where(jnp.isfinite(shift), shift, 0.0)
+    if axis_name is not None:
+        shift = jax.lax.pmax(shift, axis_name)
     w = jnp.exp(logits - shift)
     num, den = csr_weighted_segment_sum(messages, w, csr)
+    if axis_name is not None:
+        num = jax.lax.psum(num, axis_name)
+        den = jax.lax.psum(den, axis_name)
     return num / jnp.maximum(den, eps)[:, None]
 
 

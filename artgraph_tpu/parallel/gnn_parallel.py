@@ -43,6 +43,39 @@ def pad_and_shard_edges(graph: HeteroGraph, num_shards: int) -> Dict:
     return edges
 
 
+def shard_graph_csr(graph: HeteroGraph, num_shards: int):
+    """Per-shard sorted edges + stacked EdgeCSR metadata: the Pallas CSR
+    kernels composed with edge sharding.
+
+    Each relation is zero-padded to a shard multiple (sentinel dst =
+    num_dst, see ops.csr_segment._csr_from_sorted), split into contiguous
+    shards, and every shard is dst-sorted with its own CSR built. Shard
+    CSRs stack along a new leading axis so they can be device_put with the
+    shard dim sharded over the mesh — inside shard_map each device peels
+    its own metadata (leading dim 1) and reduces its local edges with the
+    kernels; partial aggregates psum-combine (models.gnn axis_name path).
+
+    Returns (edges dict in shard-major dst-sorted order, stacked-CSR dict).
+    """
+    from artgraph_tpu.ops.csr_segment import build_edge_csr
+
+    edges_padded = pad_and_shard_edges(graph, num_shards)
+    out_edges, out_csrs = {}, {}
+    for (src_t, rel, dst_t), ei in edges_padded.items():
+        sz = ei.shape[1] // num_shards
+        chunks, csrs = [], []
+        for k in range(num_shards):
+            sorted_chunk, ecsr = build_edge_csr(
+                ei[:, k * sz:(k + 1) * sz],
+                graph.num_nodes[src_t], graph.num_nodes[dst_t])
+            chunks.append(sorted_chunk)
+            csrs.append(ecsr)
+        out_edges[(src_t, rel, dst_t)] = np.concatenate(chunks, axis=1)
+        out_csrs[(src_t, rel, dst_t)] = jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *csrs)
+    return out_edges, out_csrs
+
+
 def init_variables(model, rng, x_dict, edges, **kwargs):
     """Initialize a sharded-model's variables OUTSIDE shard_map.
 
@@ -63,21 +96,43 @@ def make_sharded_forward(model, mesh: Mesh, axis: str = "data"):
 
     edge_spec = P(None, axis)  # shard the E dimension of [2, E]
 
-    def forward(variables, x_dict, edges, train: bool = False, rngs=None):
+    def forward(variables, x_dict, edges, train: bool = False, rngs=None,
+                csr=None):
         edge_specs = jax.tree_util.tree_map(lambda _: edge_spec, edges)
+
+        def apply(variables, x_dict, edges_shard, csr_local):
+            kw = dict(train=train, csr=csr_local)
+            if train:
+                return model.apply(variables, x_dict, edges_shard,
+                                   rngs=rngs, mutable=["batch_stats"], **kw)
+            return model.apply(variables, x_dict, edges_shard, **kw)
+
+        if csr is None:
+            @functools.partial(
+                shard_map, mesh=mesh,
+                in_specs=(P(), P(), edge_specs),
+                out_specs=P(),
+                check_rep=False)
+            def sharded(variables, x_dict, edges_shard):
+                return apply(variables, x_dict, edges_shard, None)
+
+            return sharded(variables, x_dict, edges)
+
+        # kernel path: stacked per-shard CSR metadata (shard_graph_csr),
+        # leading shard dim sharded over the axis; each device peels its
+        # own [1, ...] block back into a local EdgeCSR
+        csr_specs = jax.tree_util.tree_map(lambda _: P(axis), csr)
 
         @functools.partial(
             shard_map, mesh=mesh,
-            in_specs=(P(), P(), edge_specs),
+            in_specs=(P(), P(), edge_specs, csr_specs),
             out_specs=P(),
             check_rep=False)
-        def sharded(variables, x_dict, edges_shard):
-            if train:
-                return model.apply(variables, x_dict, edges_shard, train=True,
-                                   rngs=rngs, mutable=["batch_stats"])
-            return model.apply(variables, x_dict, edges_shard, train=False)
+        def sharded_csr(variables, x_dict, edges_shard, csr_shard):
+            csr_local = jax.tree_util.tree_map(lambda a: a[0], csr_shard)
+            return apply(variables, x_dict, edges_shard, csr_local)
 
-        return sharded(variables, x_dict, edges)
+        return sharded_csr(variables, x_dict, edges, csr)
 
     return forward
 
@@ -93,3 +148,20 @@ def device_put_graph(graph: HeteroGraph, mesh: Mesh, axis: str = "data"):
                     for k, v in edges.items()}
     placed_feats = jax.device_put(graph.node_features, replicated)
     return placed_feats, placed_edges
+
+
+def device_put_graph_csr(graph: HeteroGraph, mesh: Mesh, axis: str = "data"):
+    """device_put_graph for the Pallas-kernel path: edges in shard-major
+    dst-sorted order + per-shard CSR metadata (leading shard dim sharded).
+    Feed the returned csr dict to make_sharded_forward(..., csr=...)."""
+    num_shards = mesh.shape[axis]
+    edges, csrs = shard_graph_csr(graph, num_shards)
+    edge_sharding = NamedSharding(mesh, P(None, axis))
+    shard_leading = NamedSharding(mesh, P(axis))
+    replicated = NamedSharding(mesh, P())
+    placed_edges = {k: jax.device_put(v, edge_sharding)
+                    for k, v in edges.items()}
+    placed_csrs = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, shard_leading), csrs)
+    placed_feats = jax.device_put(graph.node_features, replicated)
+    return placed_feats, placed_edges, placed_csrs
