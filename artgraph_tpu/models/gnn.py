@@ -32,7 +32,6 @@ from __future__ import annotations
 from typing import Any, Dict, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from artgraph_tpu.data.artgraph import OneHot
@@ -113,9 +112,8 @@ class GraphConv(nn.Module):
         src, dst = edge_index[0], edge_index[1]
         h = TypedLinear(self.features, use_bias=False, name="lin_rel")(x_src)
         if csr is not None:
-            agg = csr_segment_sum(csr_gather(h, csr, "src"), csr.dst)
-            if self.axis_name is not None:
-                agg = jax.lax.psum(agg, self.axis_name)
+            agg = csr_segment_sum(csr_gather(h, csr, "src"), csr.dst,
+                                  axis_name=self.axis_name)
         else:
             agg = segment_sum(h[src], dst, num_dst, self.axis_name)
         bias = self.param("bias", nn.initializers.zeros,
@@ -215,9 +213,8 @@ class GINConv(nn.Module):
         h_src = TypedLinear(self.features, use_bias=False, name="lin_src")(x_src)
         h_dst = TypedLinear(self.features, use_bias=False, name="lin_dst")(x_dst)
         if csr is not None:
-            agg = csr_segment_sum(csr_gather(h_src, csr, "src"), csr.dst)
-            if self.axis_name is not None:
-                agg = jax.lax.psum(agg, self.axis_name)
+            agg = csr_segment_sum(csr_gather(h_src, csr, "src"), csr.dst,
+                                  axis_name=self.axis_name)
         else:
             agg = segment_sum(h_src[src], dst, num_dst, self.axis_name)
         return nn.Dense(self.features, name="update")(

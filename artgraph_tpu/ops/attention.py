@@ -27,6 +27,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _use_interpret() -> bool:
+    """Interpret kernels off-TPU (CPU tests); compiled Mosaic on device."""
+    return jax.devices()[0].platform == "cpu"
+
+
 def _flat(ref):
     """[BB, HB, N, D] block -> [BB*HB, N, D] (batched-dot geometry)."""
     bb, hb, n, d = ref.shape
@@ -119,7 +124,7 @@ def fused_attention(q, k, v, scale=None):
 
 def _call(kernel, n_out, q, k, v, extras=()):
     B, N, H, D = q.shape
-    interpret = jax.devices()[0].platform == "cpu"
+    interpret = _use_interpret()
     BB, HB = _blocks(B, H, N, n_out)
     inputs = [jnp.transpose(x, (0, 2, 1, 3)) for x in (q, k, v, *extras)]
     out_shapes = [jax.ShapeDtypeStruct((B, H, N, D), q.dtype)] * n_out
@@ -247,7 +252,7 @@ def _qkv_bwd_kernel(scale: float, H: int, x_ref, w_ref, b_ref, o_ref, do_ref,
 def _qkv_call(kernel, x, w, b, extras, out_dim):
     B, N, C = x.shape
     BB = 1  # one image per grid step; all H heads processed per step
-    interpret = jax.devices()[0].platform == "cpu"
+    interpret = _use_interpret()
     xspec = pl.BlockSpec((BB, N, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     wspec = pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)

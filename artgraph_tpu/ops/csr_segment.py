@@ -78,7 +78,8 @@ class CSR:
         return (self.num_segments + S_BLK - 1) // S_BLK
 
 
-def _csr_from_sorted(ids: np.ndarray, num_segments: int) -> CSR:
+def _csr_from_sorted(ids: np.ndarray, num_segments: int,
+                     as_numpy: bool = False) -> CSR:
     """Kernel metadata for an already nondecreasing segment-id array.
 
     ids equal to num_segments are SENTINEL padding edges (the edge-sharded
@@ -86,6 +87,11 @@ def _csr_from_sorted(ids: np.ndarray, num_segments: int) -> CSR:
     XLA path's out-of-range-scatter drop): they are excluded from the
     forward reduction (seg_local=-1) and from counts, and keep their
     sentinel value in dst_sorted so the backward passes can mask them.
+
+    as_numpy keeps the metadata on the host (numpy leaves) for callers that
+    post-process before a single device_put (the sharded stacker) — the
+    default commits each array to the default device, which single-device
+    callers reuse across every jitted step.
     """
     e = ids.shape[0]
     ids = ids.astype(np.int64)
@@ -104,18 +110,19 @@ def _csr_from_sorted(ids: np.ndarray, num_segments: int) -> CSR:
 
     counts = np.bincount(ids[valid], minlength=num_segments).astype(np.float32)
 
+    conv = (lambda a: a) if as_numpy else jnp.asarray
     return CSR(
-        seg_local=jnp.asarray(seg_local),
-        block_ptr=jnp.asarray(block_ptr),
-        dst_sorted=jnp.asarray(dst_sorted),
-        counts=jnp.asarray(counts),
+        seg_local=conv(seg_local),
+        block_ptr=conv(block_ptr),
+        dst_sorted=conv(dst_sorted),
+        counts=conv(counts),
         num_segments=int(num_segments),
         num_edges=int(e),
     )
 
 
-def build_csr(edge_index: np.ndarray, num_segments: int
-              ) -> Tuple[np.ndarray, CSR]:
+def build_csr(edge_index: np.ndarray, num_segments: int,
+              as_numpy: bool = False) -> Tuple[np.ndarray, CSR]:
     """Sort edges by dst and build kernel metadata.
 
     Returns (sorted_edge_index [2, E], csr). The caller must use the sorted
@@ -124,7 +131,8 @@ def build_csr(edge_index: np.ndarray, num_segments: int
     edge_index = np.asarray(edge_index)
     order = np.argsort(edge_index[1], kind="stable")
     sorted_edges = np.ascontiguousarray(edge_index[:, order]).astype(np.int32)
-    return sorted_edges, _csr_from_sorted(sorted_edges[1], num_segments)
+    return sorted_edges, _csr_from_sorted(sorted_edges[1], num_segments,
+                                          as_numpy=as_numpy)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -150,16 +158,17 @@ class EdgeCSR:
         return cls(*children)
 
 
-def build_edge_csr(edge_index: np.ndarray, num_src: int, num_dst: int
-                   ) -> Tuple[np.ndarray, EdgeCSR]:
-    sorted_edges, dst_csr = build_csr(edge_index, num_dst)
+def build_edge_csr(edge_index: np.ndarray, num_src: int, num_dst: int,
+                   as_numpy: bool = False) -> Tuple[np.ndarray, EdgeCSR]:
+    sorted_edges, dst_csr = build_csr(edge_index, num_dst, as_numpy=as_numpy)
     src_ids = sorted_edges[0]
     order = np.argsort(src_ids, kind="stable").astype(np.int32)
-    src_csr = _csr_from_sorted(src_ids[order], num_src)
+    src_csr = _csr_from_sorted(src_ids[order], num_src, as_numpy=as_numpy)
+    conv = (lambda a: a) if as_numpy else jnp.asarray
     return sorted_edges, EdgeCSR(
         dst=dst_csr, src=src_csr,
-        src_perm=jnp.asarray(order),
-        src_ids=jnp.asarray(src_ids))
+        src_perm=conv(order),
+        src_ids=conv(src_ids))
 
 
 def _use_interpret() -> bool:
@@ -419,15 +428,25 @@ def _pad_features(x):
 
 
 @jax.custom_vjp
-def csr_segment_sum(data, csr: CSR):
-    """sum of data rows per destination segment; data is edge-major in the
-    csr's sorted order, [E or E_pad, F] -> [num_segments, F] f32."""
+def _csr_segment_sum(data, csr: CSR):
     padded, f = _pad_features(_pad_edges(data, csr))
     return _pallas_sum(padded, csr)[:, :f]
 
 
+def csr_segment_sum(data, csr: CSR, axis_name: str = None):
+    """sum of data rows per destination segment; data is edge-major in the
+    csr's sorted order, [E or E_pad, F] -> [num_segments, F] f32.
+
+    With axis_name (edge-sharded shard_map), the per-shard partial sums
+    psum-combine over the mesh axis."""
+    out = _csr_segment_sum(data, csr)
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
+    return out
+
+
 def _sum_fwd(data, csr):
-    return csr_segment_sum(data, csr), (csr, data.shape[0])
+    return _csr_segment_sum(data, csr), (csr, data.shape[0])
 
 
 def _edge_cotangent(g, csr, e):
@@ -446,7 +465,7 @@ def _sum_bwd(res, g):
     return _edge_cotangent(g, csr, e).astype(jnp.float32), None
 
 
-csr_segment_sum.defvjp(_sum_fwd, _sum_bwd)
+_csr_segment_sum.defvjp(_sum_fwd, _sum_bwd)
 
 
 @jax.custom_vjp
@@ -535,10 +554,9 @@ def csr_segment_mean(data, csr: CSR, axis_name: str = None):
     """Per-segment mean. With axis_name (edge-sharded shard_map), local
     partial sums and in-degree counts are psum-combined over the mesh axis
     so the mean normalizes over ALL of a node's incoming edges."""
-    totals = csr_segment_sum(data, csr)
+    totals = csr_segment_sum(data, csr, axis_name)
     counts = csr.counts
     if axis_name is not None:
-        totals = jax.lax.psum(totals, axis_name)
         counts = jax.lax.psum(counts, axis_name)
     return totals / jnp.maximum(counts, 1.0)[:, None]
 

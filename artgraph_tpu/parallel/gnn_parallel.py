@@ -65,14 +65,17 @@ def shard_graph_csr(graph: HeteroGraph, num_shards: int):
         sz = ei.shape[1] // num_shards
         chunks, csrs = [], []
         for k in range(num_shards):
+            # as_numpy: keep metadata host-side until the single device_put
+            # in device_put_graph_csr (no device round-trip per shard)
             sorted_chunk, ecsr = build_edge_csr(
                 ei[:, k * sz:(k + 1) * sz],
-                graph.num_nodes[src_t], graph.num_nodes[dst_t])
+                graph.num_nodes[src_t], graph.num_nodes[dst_t],
+                as_numpy=True)
             chunks.append(sorted_chunk)
             csrs.append(ecsr)
         out_edges[(src_t, rel, dst_t)] = np.concatenate(chunks, axis=1)
         out_csrs[(src_t, rel, dst_t)] = jax.tree_util.tree_map(
-            lambda *xs: np.stack([np.asarray(x) for x in xs]), *csrs)
+            lambda *xs: np.stack(xs), *csrs)
     return out_edges, out_csrs
 
 

@@ -88,6 +88,28 @@ def test_qkv_fused_gradients_match_composite():
                                    rtol=2e-3, atol=2e-3, err_msg=name)
 
 
+def test_qkv_fused_bf16_gradients():
+    """Production ViT training runs the backward kernel in bf16 only —
+    pin the bf16 grad path (loose tolerance, bf16 resolution)."""
+    x, w, b = _qkv_inputs(B=2, N=64, C=128, H=2, seed=3)
+    xb = x.astype(jnp.bfloat16)
+
+    def loss(f):
+        return lambda x, w, b: jnp.sum(jnp.sin(
+            f(x, w, b).astype(jnp.float32)))
+
+    g_ref = jax.grad(loss(lambda x, w, b: _qkv_ref(
+        x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        b.astype(jnp.bfloat16), 2)), argnums=(0, 1, 2))(xb, w, b)
+    g_out = jax.grad(loss(lambda x, w, b: fused_qkv_attention(x, w, b, 2)),
+                     argnums=(0, 1, 2))(xb, w, b)
+    for name, a, b_ in zip(("dx", "dw", "db"), g_ref, g_out):
+        a = np.asarray(a, np.float32)
+        b_ = np.asarray(b_, np.float32)
+        scale = np.abs(a).mean() + 1e-6
+        assert np.max(np.abs(a - b_)) / scale < 0.15, name
+
+
 def test_qkv_fused_bf16_vit_geometry():
     """The production geometry (bf16, N=197, H=12) at a reduced batch."""
     x, w, b = _qkv_inputs(B=2, N=197, C=768, H=12, seed=2)
