@@ -14,6 +14,8 @@ this geometry on v5e).
 """
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from functools import partial
 from typing import Any
 
@@ -22,6 +24,28 @@ import jax
 import jax.numpy as jnp
 
 Dtype = Any
+
+# Trace-scope switch for the Pallas attention kernels. Under an AUTO-sharded
+# jit (data parallelism via NamedSharding-annotated operands), jax cannot
+# partition a pallas_call — it requires Manual (shard_map) mesh axes
+# (jax._src.pallas.pallas_call._pallas_call_abstract_eval) — so XLA would
+# replicate the kernel's operands across the mesh: every device would run
+# the FULL global batch. Trainers enter this context when tracing a step
+# over a multi-device mesh so attention falls back to XLA's partitionable
+# path. The edge-sharded GNN kernels are unaffected: they already run
+# inside shard_map (Manual axes), which is the kernel-correct design.
+_FORCE_XLA_ATTENTION: contextvars.ContextVar = contextvars.ContextVar(
+    "force_xla_attention", default=False)
+
+
+@contextlib.contextmanager
+def force_xla_attention():
+    """Disable the Pallas attention kernels for traces opened in this scope."""
+    token = _FORCE_XLA_ATTENTION.set(True)
+    try:
+        yield
+    finally:
+        _FORCE_XLA_ATTENTION.reset(token)
 
 
 class _DenseParams(nn.Module):
@@ -66,9 +90,11 @@ class Attention(nn.Module):
         B, N, C = x.shape
         head_dim = C // self.num_heads
         dense = partial(nn.Dense, dtype=self.dtype, param_dtype=jnp.float32)
-        on_tpu = jax.devices()[0].platform != "cpu"
+        use_kernel = (self.use_pallas
+                      and jax.devices()[0].platform != "cpu"
+                      and not _FORCE_XLA_ATTENTION.get())
 
-        if self.use_pallas and self.fuse_qkv and on_tpu:
+        if use_kernel and self.fuse_qkv:
             from artgraph_tpu.ops.attention import fused_qkv_attention
 
             w, b = _DenseParams(3 * C, name="qkv")(C)
@@ -79,7 +105,7 @@ class Attention(nn.Module):
             qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
-            if self.use_pallas and on_tpu:
+            if use_kernel:
                 from artgraph_tpu.ops.attention import fused_attention
 
                 out = fused_attention(q, k, v)

@@ -34,6 +34,7 @@ import optax
 
 from artgraph_tpu.data.loader import pipeline
 from artgraph_tpu.models.resnet import bn_batch_mask
+from artgraph_tpu.models.vit import force_xla_attention
 from artgraph_tpu.ops.preprocess import normalize_images
 from artgraph_tpu.parallel.mesh import batch_sharding, replicated
 from artgraph_tpu.train.train_state import TrainState
@@ -106,6 +107,16 @@ class Trainer:
         return v
 
     # ------------------------------------------------------------------
+    def _attention_ctx(self):
+        """Over a multi-device mesh (auto-sharded jit), the Pallas attention
+        kernels cannot be partitioned — jax requires Manual/shard_map axes —
+        so XLA would replicate their operands (every device running the full
+        global batch). Trace those steps with the partitionable XLA
+        attention instead (models.vit.force_xla_attention)."""
+        if self.mesh is not None and self.mesh.size > 1:
+            return force_xla_attention()
+        return contextlib.nullcontext()
+
     def _build_train_step(self, has_bn: bool, masked: bool = False):
         model = self.model
 
@@ -134,7 +145,7 @@ class Trainer:
             # path; this masked step compiles lazily, at most once.
             ctx = (bn_batch_mask(batch[-1]) if (masked and has_bn)
                    else _NULL_CTX)
-            with ctx:
+            with ctx, self._attention_ctx():
                 (loss, (metrics, new_stats)), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(state.params)
             updates, opt_state = self.tx.update(grads, state.opt_state,
@@ -157,7 +168,8 @@ class Trainer:
             variables = {"params": state.params}
             if has_bn:
                 variables["batch_stats"] = state.batch_stats
-            outputs = model.apply(variables, *inputs, train=False)
+            with self._attention_ctx():
+                outputs = model.apply(variables, *inputs, train=False)
             loss, metrics = self.eval_compute_loss(outputs, batch)
             metrics = dict(metrics)
             metrics["loss"] = loss
