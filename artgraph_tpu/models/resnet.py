@@ -34,6 +34,13 @@ Dtype = Any
 _BATCH_MASK: contextvars.ContextVar = contextvars.ContextVar(
     "bn_batch_mask", default=None)
 
+# Mesh axis for cross-device BN statistics: inside the trainer's shard_map
+# DP step, per-shard moment sums psum over this axis so every device
+# normalizes with the GLOBAL batch statistics — identical numerics to the
+# auto-sharded-jit path (where XLA computes them globally by construction).
+_BN_AXIS: contextvars.ContextVar = contextvars.ContextVar(
+    "bn_psum_axis", default=None)
+
 
 @contextlib.contextmanager
 def bn_batch_mask(mask):
@@ -43,6 +50,16 @@ def bn_batch_mask(mask):
         yield
     finally:
         _BATCH_MASK.reset(token)
+
+
+@contextlib.contextmanager
+def bn_psum_axis(axis: str):
+    """Compute BN batch statistics globally over a mesh axis (shard_map)."""
+    token = _BN_AXIS.set(axis)
+    try:
+        yield
+    finally:
+        _BN_AXIS.reset(token)
 
 
 class MixedBatchNorm(nn.Module):
@@ -81,14 +98,28 @@ class MixedBatchNorm(nn.Module):
             # one-pass moments (cuDNN-style): E[x^2] - E[x]^2 in f32. Safe for
             # post-conv activations (near-zero mean); a second pass over the
             # activations costs ~8% of the ResNet step.
+            bn_axis = _BN_AXIS.get()
             if mask is not None:
                 # Masked statistics over the valid rows only (ragged final
                 # batch): identical to torch stats over the unpadded batch.
                 m = mask.astype(jnp.float32).reshape(
                     (-1,) + (1,) * (x.ndim - 1))
                 n = jnp.sum(mask.astype(jnp.float32)) * spatial
-                mean = jnp.sum(xf * m, axis=axes) / n
-                mean_sq = jnp.sum(jnp.square(xf) * m, axis=axes) / n
+                s1 = jnp.sum(xf * m, axis=axes)
+                s2 = jnp.sum(jnp.square(xf) * m, axis=axes)
+                if bn_axis is not None:
+                    n = jax.lax.psum(n, bn_axis)
+                    s1 = jax.lax.psum(s1, bn_axis)
+                    s2 = jax.lax.psum(s2, bn_axis)
+                mean = s1 / n
+                mean_sq = s2 / n
+            elif bn_axis is not None:
+                # shard_map DP: global moments from per-shard sums
+                n = jax.lax.psum(
+                    jnp.asarray(x.shape[0] * spatial, jnp.float32), bn_axis)
+                mean = jax.lax.psum(jnp.sum(xf, axis=axes), bn_axis) / n
+                mean_sq = jax.lax.psum(
+                    jnp.sum(jnp.square(xf), axis=axes), bn_axis) / n
             else:
                 n = jnp.asarray(x.shape[0] * spatial, jnp.float32)
                 mean = jnp.mean(xf, axis=axes)

@@ -11,20 +11,53 @@ The reference's criteria and where they are used:
 
 Every loss takes an optional f32 `mask` over batch rows; padded rows of the
 static-shape final batch contribute zero and are excluded from the divisor.
+
+Inside a `loss_psum_axis(axis)` scope (the trainer's shard_map DP step),
+the weighted numerator and denominator psum-combine over the mesh axis
+BEFORE the division, so every device computes the identical GLOBAL
+torch-semantics mean — exact even when per-shard weight sums differ
+(class weights, ragged masks).
 """
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from jax import nn as jnn
+
+_PSUM_AXIS: contextvars.ContextVar = contextvars.ContextVar(
+    "loss_psum_axis", default=None)
+
+
+@contextlib.contextmanager
+def loss_psum_axis(axis: str):
+    """Make every loss/metric reduction in this trace scope global over the
+    named mesh axis (for use inside shard_map)."""
+    token = _PSUM_AXIS.set(axis)
+    try:
+        yield
+    finally:
+        _PSUM_AXIS.reset(token)
+
+
+def psum_if_sharded(value):
+    """psum `value` over the active loss_psum_axis scope (identity outside)."""
+    axis = _PSUM_AXIS.get()
+    if axis is not None:
+        return jax.lax.psum(value, axis)
+    return value
 
 
 def _masked(values: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
     """sum(values*weights)/sum(weights) in f32 (torch 'mean' reduction)."""
     values = values.astype(jnp.float32)
     weights = weights.astype(jnp.float32)
-    return jnp.sum(values * weights) / jnp.maximum(jnp.sum(weights), 1e-12)
+    num = psum_if_sharded(jnp.sum(values * weights))
+    den = psum_if_sharded(jnp.sum(weights))
+    return num / jnp.maximum(den, 1e-12)
 
 
 def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
@@ -60,7 +93,7 @@ def smooth_l1(pred: jnp.ndarray, target: jnp.ndarray,
     diff = jnp.abs(pred.astype(jnp.float32) - target.astype(jnp.float32))
     per_elem = jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
     if mask is None:
-        return jnp.mean(per_elem)
+        return _masked(per_elem, jnp.ones_like(per_elem))
     w = jnp.broadcast_to(
         mask.astype(jnp.float32).reshape((-1,) + (1,) * (per_elem.ndim - 1)),
         per_elem.shape)
@@ -72,7 +105,7 @@ def mse(pred: jnp.ndarray, target: jnp.ndarray,
     """torch.nn.MSELoss (mean over all elements)."""
     per_elem = jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32))
     if mask is None:
-        return jnp.mean(per_elem)
+        return _masked(per_elem, jnp.ones_like(per_elem))
     w = jnp.broadcast_to(
         mask.astype(jnp.float32).reshape((-1,) + (1,) * (per_elem.ndim - 1)),
         per_elem.shape)

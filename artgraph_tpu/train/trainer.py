@@ -32,19 +32,32 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from jax.sharding import PartitionSpec as P
+
 from artgraph_tpu.data.loader import pipeline
-from artgraph_tpu.models.resnet import bn_batch_mask
+from artgraph_tpu.models.resnet import bn_batch_mask, bn_psum_axis
 from artgraph_tpu.models.vit import force_xla_attention
 from artgraph_tpu.ops.preprocess import normalize_images
 from artgraph_tpu.parallel.mesh import batch_sharding, replicated
+from artgraph_tpu.train.losses import loss_psum_axis, psum_if_sharded
 from artgraph_tpu.train.train_state import TrainState
+
+import functools as _functools
+
+try:  # jax >= 0.8: top-level shard_map with check_vma
+    from jax import shard_map as _jax_shard_map
+    _shard_map = _functools.partial(_jax_shard_map, check_vma=False)
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _jax_shard_map
+    _shard_map = _functools.partial(_jax_shard_map, check_rep=False)
 
 
 def accuracy_metrics(logits, labels, mask, prefix="") -> Dict[str, jnp.ndarray]:
-    """Masked correct-prediction count (the reference's accuracy numerator)."""
+    """Masked correct-prediction count (the reference's accuracy numerator).
+    Global over the mesh axis inside a loss_psum_axis scope (shard_map DP)."""
     pred = jnp.argmax(logits, axis=-1)
     correct = jnp.sum((pred == labels).astype(jnp.float32) * mask)
-    return {f"{prefix}correct": correct}
+    return {f"{prefix}correct": psum_if_sharded(correct)}
 
 
 class Trainer:
@@ -118,6 +131,14 @@ class Trainer:
         return contextlib.nullcontext()
 
     def _build_train_step(self, has_bn: bool, masked: bool = False):
+        # Full batches over a mesh run per-device inside shard_map (Manual
+        # axes): the Pallas kernels stay on, per-shard losses/metrics/BN
+        # moments psum to the exact global values, and gradients psum once.
+        # The ragged-final-batch masked variant (at most one batch per
+        # epoch) keeps the auto-sharded-jit path below, where
+        # _attention_ctx falls back to XLA's partitionable attention.
+        if self.mesh is not None and not masked:
+            return self._build_train_step_shardmap(has_bn)
         model = self.model
 
         def step_fn(state: TrainState, rng, *batch):
@@ -159,7 +180,99 @@ class Trainer:
 
         return jax.jit(step_fn, donate_argnums=(0,))
 
+    def _build_train_step_shardmap(self, has_bn: bool):
+        """DP train step as an explicit shard_map over the 'data' axis.
+
+        Equivalent numerics to the auto-sharded-jit step (pinned by
+        tests/test_shardmap_trainer.py): losses divide psum'd weighted sums
+        (exact under class weights and ragged masks), BN statistics are
+        global via bn_psum_axis, gradients psum across shards. Dropout rng
+        folds in the device index so masks decorrelate across shards.
+        """
+        model = self.model
+        mesh = self.mesh
+
+        def sharded_body(state: TrainState, rng, *batch):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+            images = normalize_images(batch[0], self.transform_type)
+            inputs = self.forward_inputs(images, batch)
+
+            def loss_fn(params):
+                variables = {"params": params}
+                if has_bn:
+                    variables["batch_stats"] = state.batch_stats
+                    outputs, mut = model.apply(
+                        variables, *inputs, train=True,
+                        rngs={"dropout": rng}, mutable=["batch_stats"])
+                    new_stats = mut["batch_stats"]
+                else:
+                    outputs = model.apply(variables, *inputs, train=True,
+                                          rngs={"dropout": rng})
+                    new_stats = state.batch_stats
+                loss, metrics = self.compute_loss(outputs, batch)
+                return loss, (metrics, new_stats)
+
+            bn_ctx = bn_psum_axis("data") if has_bn else _NULL_CTX
+            with loss_psum_axis("data"), bn_ctx:
+                (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
+            # The loss is GLOBAL (psum'd numerator/denominator). Under
+            # shard_map's check_vma=False AD convention the transpose of
+            # psum is psum, so each device's grad is an axis_size-scaled
+            # local partial: pmean reconstructs the exact global gradient
+            # (psum of partials == axis_size * true grad; the division is a
+            # power of two, so this is bit-exact vs single-device — pinned
+            # by tests/test_shardmap_trainer.py at two mesh sizes).
+            grads = jax.lax.pmean(grads, "data")
+            return loss, metrics, new_stats, grads
+
+        def step_fn(state: TrainState, rng, *batch):
+            fn = _shard_map(
+                sharded_body, mesh=mesh,
+                in_specs=(P(), P()) + tuple(P("data") for _ in batch),
+                out_specs=P())
+            loss, metrics, new_stats, grads = fn(state, rng, *batch)
+            updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(step=state.step + 1, params=params,
+                                   batch_stats=new_stats,
+                                   opt_state=opt_state)
+            metrics = dict(metrics)
+            metrics["loss"] = loss
+            return new_state, metrics
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def _build_eval_step_shardmap(self, has_bn: bool):
+        model = self.model
+        mesh = self.mesh
+
+        def sharded_body(state: TrainState, *batch):
+            images = normalize_images(batch[0], self.transform_type)
+            inputs = self.eval_forward_inputs(images, batch)
+            variables = {"params": state.params}
+            if has_bn:
+                variables["batch_stats"] = state.batch_stats
+            outputs = model.apply(variables, *inputs, train=False)
+            with loss_psum_axis("data"):
+                loss, metrics = self.eval_compute_loss(outputs, batch)
+            metrics = dict(metrics)
+            metrics["loss"] = loss
+            return outputs, metrics
+
+        def step_fn(state: TrainState, *batch):
+            fn = _shard_map(
+                sharded_body, mesh=mesh,
+                in_specs=(P(),) + tuple(P("data") for _ in batch),
+                out_specs=(P("data"), P()))
+            return fn(state, *batch)
+
+        return jax.jit(step_fn)
+
     def _build_eval_step(self, has_bn: bool):
+        if self.mesh is not None:
+            return self._build_eval_step_shardmap(has_bn)
         model = self.model
 
         def step_fn(state: TrainState, *batch):
