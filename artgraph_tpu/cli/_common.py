@@ -287,30 +287,42 @@ def evaluate_single_task(trainer, state, loader, num_classes: int,
     return summary["accuracy"]
 
 
-def save_resume_state(resume_dir: str, trainer: Trainer, state, epoch: int,
-                      early_stop: EarlyStopping) -> None:
-    """Persist the FULL train state (params+opt_state+BN stats) with Orbax,
-    plus a json sidecar for loop/early-stop scalars."""
+def save_resume_payload(resume_dir: str, payload: dict, meta: dict) -> None:
+    """Orbax state + ATOMIC json sidecar (tmp + rename: a crash mid-write —
+    exactly the window --resume exists for — must not leave a truncated
+    meta.json that makes every restart fail in json.load). Shared by the
+    Trainer-based CLIs and the GNN trainer's custom loop."""
     import json
-
-    import jax
 
     from artgraph_tpu.checkpointing import save_checkpoint
 
     os.makedirs(resume_dir, exist_ok=True)
+    save_checkpoint(os.path.join(resume_dir, "state"), payload)
+    meta_path = os.path.join(resume_dir, "meta.json")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
+
+
+def save_resume_state(resume_dir: str, trainer: Trainer, state, epoch: int,
+                      early_stop: EarlyStopping) -> None:
+    """Persist the FULL train state (params+opt_state+BN stats) with Orbax,
+    plus a json sidecar for loop/early-stop scalars."""
+    import jax
+
     payload = jax.device_get({
         "step": int(state.step),
         "params": state.params,
         "batch_stats": dict(state.batch_stats),
         "opt_state": state.opt_state,
     })
-    save_checkpoint(os.path.join(resume_dir, "state"), payload)
-    meta = {"epoch": epoch,
-            "best_loss": early_stop.best_loss,
-            "wait": early_stop.wait,
-            "stop": early_stop.stop}
-    with open(os.path.join(resume_dir, "meta.json"), "w") as f:
-        json.dump(meta, f)
+    save_resume_payload(resume_dir, payload, {
+        "epoch": epoch,
+        "best_loss": early_stop.best_loss,
+        "wait": early_stop.wait,
+        "stop": early_stop.stop,
+    })
 
 
 def load_resume_state(resume_dir: str, trainer: Trainer, fresh_state,
@@ -358,6 +370,17 @@ def run_epoch_loop(args, trainer, state, loaders, early_stop: EarlyStopping,
     if resume_dir and os.path.exists(os.path.join(resume_dir, "meta.json")):
         state, start_epoch = load_resume_state(resume_dir, trainer, state,
                                                early_stop)
+        # Continue the rng streams where the crashed run left off instead of
+        # replaying epoch 0: dropout keys derive from _host_step (one per
+        # train batch == state.step), and each loader's shuffle rng derives
+        # from its epoch counter — advance both to their pre-crash values so
+        # the resumed run sees the same batch order and dropout masks an
+        # uninterrupted run would.
+        trainer._host_step = int(state.step)
+        for ld in (loaders.values() if isinstance(loaders, dict)
+                   else loaders):
+            if hasattr(ld, "_epoch"):
+                ld._epoch += start_epoch
     for epoch in range(start_epoch, args.epochs):
         state = train_fn(state, epoch)
         state = valid_fn(state, epoch)

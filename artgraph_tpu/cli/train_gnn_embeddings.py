@@ -179,14 +179,10 @@ def main(argv=None):
     train_step, eval_step = make_steps(model, tx, mesh)
 
     def save_resume(epoch):
-        import json
-        from artgraph_tpu.checkpointing import save_checkpoint
-        os.makedirs(args.resume, exist_ok=True)
-        save_checkpoint(os.path.join(args.resume, "state"), jax.device_get(
+        from artgraph_tpu.cli._common import save_resume_payload
+        save_resume_payload(args.resume, jax.device_get(
             {"params": params, "batch_stats": batch_stats,
-             "opt_state": opt_state}))
-        with open(os.path.join(args.resume, "meta.json"), "w") as f:
-            json.dump({"epoch": epoch}, f)
+             "opt_state": opt_state}), {"epoch": epoch})
 
     start_epoch = 0
     if args.resume and os.path.exists(os.path.join(args.resume, "meta.json")):

@@ -78,8 +78,9 @@ class ResidentLoader:
         for start in range(0, stop, B):
             idx = order[start:start + B]
             k = len(idx)
-            if not self.pad_last and k < B:
-                # unpadded ragged batch (no mask contract without padding)
+            if not self.pad_last:
+                # DataLoader's pad_last=False contract: NO mask on any
+                # batch (loader.py _finalize) — consistent tuple arity
                 batch = self._gather(self.data, self._jnp.asarray(idx))
                 yield batch
                 continue

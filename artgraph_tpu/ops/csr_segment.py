@@ -15,9 +15,9 @@ sequential-read kernel:
     each chunk with a one-hot [S_BLK, BE] @ [BE, F] matmul on the MXU —
     sums become matmuls, the op TPUs are built for;
   * the weighted variant fuses GAT's softmax numerator (sum w*m) and
-    denominator (sum w) into the same pass, and the per-segment max shift
-    is replaced by a global max (softmax is shift-invariant, so the result
-    is mathematically identical; only the shift constant differs).
+    denominator (sum w) into the same pass; the softmax's per-segment max
+    shift comes from a scalar max kernel over the same sorted layout
+    (exact — a global shift would underflow cold segments' exp() to zero).
 
 Gradients: d/d_data of a segment sum is a plain gather of the output
 cotangent back to the edges — XLA gathers run at ~215 GB/s here, so the
@@ -179,13 +179,18 @@ def _use_interpret() -> bool:
 # Kernels
 # ---------------------------------------------------------------------------
 
-def _onehot(seg, e_start, e_end, start):
-    """[S_BLK, BE] membership matrix for a chunk, masked to the block's
-    edge range (chunk windows are BE-aligned and may overhang both ends)."""
+def _member(seg, e_start, e_end, start):
+    """[S_BLK, BE] boolean membership matrix for a chunk, masked to the
+    block's edge range (chunk windows are BE-aligned, may overhang both
+    ends; seg_local==-1 padding/sentinel entries match no row)."""
     epos = start + jax.lax.broadcasted_iota(jnp.int32, (BE,), 0)
     inside = (epos >= e_start) & (epos < e_end)
     return ((jax.lax.broadcasted_iota(jnp.int32, (S_BLK, BE), 0)
-             == seg[None, :]) & inside[None, :]).astype(jnp.float32)
+             == seg[None, :]) & inside[None, :])
+
+
+def _onehot(seg, e_start, e_end, start):
+    return _member(seg, e_start, e_end, start).astype(jnp.float32)
 
 
 def _double_buffered(num_chunks, base, streams, compute):
@@ -378,7 +383,32 @@ def _scalar_kernel(block_ptr_ref, w_hbm, seg_hbm, out_ref,
     out_ref[:] = acc_ref[:]
 
 
-def _pallas_scalar(w, csr: CSR):
+def _scalar_max_kernel(block_ptr_ref, w_hbm, seg_hbm, out_ref,
+                       w_vmem, seg_vmem, acc_ref, sem_w, sem_s):
+    """Per-segment max of a scalar edge array (the exact softmax shift).
+    Empty segments stay -inf (callers replace with 0)."""
+    b = pl.program_id(0)
+    e_start = block_ptr_ref[b]
+    e_end = block_ptr_ref[b + 1]
+    acc_ref[:] = jnp.full_like(acc_ref, -jnp.inf)
+    base = (e_start // BE) * BE
+    num_chunks = pl.cdiv(e_end - base, BE)
+
+    def compute(k, slot):
+        off = slot * BE
+        member = _member(seg_vmem[pl.ds(off, BE)], e_start, e_end,
+                         base + k * BE)
+        vals = jnp.where(member, w_vmem[pl.ds(off, BE)][None, :], -jnp.inf)
+        acc_ref[:] = jnp.maximum(acc_ref[:],
+                                 jnp.max(vals, axis=1, keepdims=True))
+
+    _double_buffered(num_chunks, base,
+                     [(w_hbm, w_vmem, sem_w),
+                      (seg_hbm, seg_vmem, sem_s)], compute)
+    out_ref[:] = acc_ref[:]
+
+
+def _pallas_scalar_call(kernel, w, csr: CSR):
     nb = csr.num_blocks
     n_pad = nb * S_BLK
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -396,12 +426,20 @@ def _pallas_scalar(w, csr: CSR):
         ],
     )
     out = pl.pallas_call(
-        _scalar_kernel,
+        kernel,
         out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
     )(csr.block_ptr, w, csr.seg_local)
     return out[:csr.num_segments, 0]
+
+
+def _pallas_scalar(w, csr: CSR):
+    return _pallas_scalar_call(_scalar_kernel, w, csr)
+
+
+def _pallas_scalar_max(w, csr: CSR):
+    return _pallas_scalar_call(_scalar_max_kernel, w, csr)
 
 
 # ---------------------------------------------------------------------------
@@ -550,6 +588,15 @@ def _gather_bwd(axis, res, g):
 csr_gather.defvjp(_gather_fwd, _gather_bwd)
 
 
+def csr_scalar_segment_max(w, csr: CSR):
+    """Per-segment max of a scalar edge array, [E] -> [num_segments] f32.
+
+    Non-differentiable by design (the softmax shift is detached); empty
+    segments return -inf."""
+    return _pallas_scalar_max(
+        _pad_edges(jax.lax.stop_gradient(w).astype(jnp.float32), csr), csr)
+
+
 def csr_segment_mean(data, csr: CSR, axis_name: str = None):
     """Per-segment mean. With axis_name (edge-sharded shard_map), local
     partial sums and in-degree counts are psum-combined over the mesh axis
@@ -565,20 +612,27 @@ def csr_attention_aggregate(messages, logits, csr: CSR, eps: float = 1e-16,
                             axis_name: str = None):
     """GAT aggregation: softmax(logits per segment)-weighted message sum.
 
-    Identical math to segment_softmax + segment_sum (softmax is invariant to
-    the shift constant, so a global max replaces the per-segment max):
-      out[s] = sum_e w_e * m_e / sum_e w_e,  w_e = exp(logit_e - max logits)
+    Identical math to segment_softmax + segment_sum, with the EXACT
+    per-segment max shift (csr_scalar_segment_max kernel — a single global
+    max would underflow exp() to zero for destinations whose logits sit
+    ~88 below the hottest edge, silently zeroing those nodes' outputs and
+    gradients):
+      out[s] = sum_e w_e * m_e / sum_e w_e,
+      w_e = exp(logit_e - max_{e' in seg(e)} logit_{e'})
 
-    With axis_name (edge-sharded shard_map): the shift is pmax-combined so
-    every shard uses the same constant, and the numerator/denominator
-    partial sums psum-combine — attention normalizes over ALL incoming
-    edges while each device only reduces its local edge shard.
+    With axis_name (edge-sharded shard_map): per-shard segment maxima
+    pmax-combine so every shard shifts by the global per-segment max, and
+    the numerator/denominator partial sums psum-combine — attention
+    normalizes over ALL incoming edges while each device only reduces its
+    local edge shard.
     """
-    shift = jax.lax.stop_gradient(jnp.max(logits))
-    shift = jnp.where(jnp.isfinite(shift), shift, 0.0)
+    e = logits.shape[0]
+    seg_max = csr_scalar_segment_max(logits, csr)
     if axis_name is not None:
-        shift = jax.lax.pmax(shift, axis_name)
-    w = jnp.exp(logits - shift)
+        seg_max = jax.lax.pmax(seg_max, axis_name)
+    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)  # empty segs
+    ids = jnp.minimum(csr.dst_sorted[:e], csr.num_segments - 1)
+    w = jnp.exp(logits - seg_max[ids])
     num, den = csr_weighted_segment_sum(messages, w, csr)
     if axis_name is not None:
         num = jax.lax.psum(num, axis_name)

@@ -36,13 +36,18 @@ def distributed_init(coordinator: Optional[str] = None,
     """
     if not coordinator:
         return
+    if jax.process_count() > 1:
+        return  # a pod launcher already initialized the distributed runtime
     try:
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=num_processes,
                                    process_id=process_id)
     except RuntimeError as e:
-        if "already" in str(e).lower():
-            return  # launcher initialized it first
+        # jax 0.9 wording: "jax.distributed.initialize should only be
+        # called once"; older versions said "already initialized"
+        msg = str(e).lower()
+        if "already" in msg or "only be called once" in msg:
+            return
         raise
 
 

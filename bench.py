@@ -217,29 +217,15 @@ def bench_epoch(n_images: int = 512, batch: int = 128, epochs: int = 3):
     split_dir = os.path.join(root, "dataset", "train")
     if not os.path.exists(os.path.join(split_dir, "mapping",
                                        "artwork_entidx2name.csv")):
-        import pandas as pd
-        from PIL import Image
-        os.makedirs(os.path.join(split_dir, "mapping"), exist_ok=True)
-        os.makedirs(os.path.join(split_dir, "raw", "node-label", "artwork"),
-                    exist_ok=True)
-        os.makedirs(img_dir, exist_ok=True)
-        rng = np.random.default_rng(0)
-        names = []
-        for i in range(n_images):
-            name = f"img_{i}.jpg"
-            arr = rng.integers(0, 255, (300, 350, 3), dtype=np.uint8)
-            Image.fromarray(arr).save(os.path.join(img_dir, name),
-                                      quality=85)
-            names.append(name)
-        pd.DataFrame({"idx": range(n_images), "image": names}).to_csv(
-            os.path.join(split_dir, "mapping", "artwork_entidx2name.csv"),
-            header=False, index=False)
-        for label, n_cls in (("style", 32), ("genre", 18)):
-            pd.Series(np.random.default_rng(1).integers(
-                0, n_cls, n_images)).to_csv(
-                os.path.join(split_dir, "raw", "node-label", "artwork",
-                             f"node-label-{label}.csv"),
-                header=False, index=False)
+        # same generator as the test fixtures (tests/_make_synth.py) so the
+        # bench's dataset layout can never drift from the loaders' contract
+        import pathlib
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tests"))
+        from _make_synth import make_image_tree
+        make_image_tree(pathlib.Path(root), counts={"train": n_images},
+                        n_style=32, n_genre=18, size=(300, 350))
 
     df = prepare_raw_dataset(os.path.join(root, "dataset"), "train")
     ds = ArtGraphSingleTask(img_dir, df[["image", "style"]])

@@ -86,7 +86,7 @@ def test_csr_mean_matches_xla(edges):
 
 
 def test_csr_attention_matches_segment_softmax(edges):
-    """Global-max-shift GAT aggregation == per-segment softmax + sum."""
+    """Kernel GAT aggregation == per-segment softmax + sum."""
     from artgraph_tpu.ops.segment import segment_softmax, segment_sum
 
     se, csr, E, N = edges
@@ -98,6 +98,30 @@ def test_csr_attention_matches_segment_softmax(edges):
     ref = np.asarray(segment_sum(att[:, None] * m, dst, N))
     out = np.asarray(csr_attention_aggregate(m, logits, csr))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_csr_attention_extreme_logit_spread(edges):
+    """A single hot edge must not underflow COLD segments' softmax: with a
+    global max shift, exp(logit - 200) == 0 for every other destination
+    and their outputs/gradients silently vanish. The per-segment max
+    kernel keeps them exact."""
+    from artgraph_tpu.ops.segment import segment_softmax, segment_sum
+
+    se, csr, E, N = edges
+    rng = np.random.default_rng(6)
+    m = jnp.asarray(rng.normal(size=(E, 128)).astype(np.float32))
+    logits_np = rng.normal(size=(E,)).astype(np.float32)
+    logits_np[0] += 200.0  # one scorching edge
+    logits = jnp.asarray(logits_np)
+    dst = jnp.asarray(se[1])
+    att = segment_softmax(logits, dst, N)
+    ref = np.asarray(segment_sum(att[:, None] * m, dst, N))
+    out = np.asarray(csr_attention_aggregate(m, logits, csr))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+    # and gradients through the cold segments stay nonzero
+    g = jax.grad(lambda mm: jnp.sum(
+        csr_attention_aggregate(mm, logits, csr)))(m)
+    assert float(jnp.sum(jnp.abs(g))) > 1.0
 
 
 def test_heterosgnn_csr_matches_xla(synthetic_graph):
