@@ -14,10 +14,12 @@ sequential-read kernel:
   * the kernel streams BE-edge chunks HBM->VMEM with async DMA and reduces
     each chunk with a one-hot [S_BLK, BE] @ [BE, F] matmul on the MXU —
     sums become matmuls, the op TPUs are built for;
-  * the weighted variant fuses GAT's softmax numerator (sum w*m) and
-    denominator (sum w) into the same pass; the softmax's per-segment max
-    shift comes from a scalar max kernel over the same sorted layout
-    (exact — a global shift would underflow cold segments' exp() to zero).
+  * GAT's softmax aggregation runs as ONE online (flash-style) pass: the
+    kernel tracks each segment's running max, rescales the accumulated
+    numerator/denominator by exp(m_old - m_new) per chunk, and folds the
+    exp-weights into the same one-hot matmul — the EXACT per-segment
+    shift at the cost of the plain weighted sum (a global shift would
+    underflow cold segments' exp() to zero).
 
 Gradients: d/d_data of a segment sum is a plain gather of the output
 cotangent back to the edges — XLA gathers run at ~215 GB/s here, so the
@@ -360,6 +362,105 @@ def _pallas_weighted(data, w, csr: CSR):
     return out[:csr.num_segments], outw[:csr.num_segments, 0]
 
 
+def _softmax_kernel(block_ptr_ref, data_hbm, logit_hbm, seg_hbm,
+                    out_ref, outm_ref, outd_ref,
+                    data_vmem, logit_vmem, seg_vmem,
+                    acc_ref, m_ref, den_ref, sem_d, sem_w, sem_s):
+    """Online (flash-style) per-segment softmax aggregation in ONE pass:
+
+      out[s]  = sum_e exp(l_e - m_s) * data_e / sum_e exp(l_e - m_s)
+      m_s     = max of segment s's logits (tracked online)
+
+    Per chunk the running maximum m is raised, the accumulated numerator/
+    denominator rescale by exp(m_old - m_new), and the chunk's exp-weights
+    fold into the same one-hot matmul as the plain weighted kernel — the
+    exact shift costs no extra pass over the edges. m and den are emitted
+    for the backward pass (p_e reconstructs from them by gathers)."""
+    b = pl.program_id(0)
+    e_start = block_ptr_ref[b]
+    e_end = block_ptr_ref[b + 1]
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+    den_ref[:] = jnp.zeros_like(den_ref)
+    base = (e_start // BE) * BE
+    num_chunks = pl.cdiv(e_end - base, BE)
+
+    def compute(k, slot):
+        off = slot * BE
+        member = _member(seg_vmem[pl.ds(off, BE)], e_start, e_end,
+                         base + k * BE)
+        onehot = member.astype(jnp.float32)
+        logits = logit_vmem[pl.ds(off, BE)][None, :]          # [1, BE]
+        masked = jnp.where(member, logits, -jnp.inf)           # [S_BLK, BE]
+        m_old = m_ref[:]
+        m_new = jnp.maximum(m_old, jnp.max(masked, axis=1, keepdims=True))
+        # empty-so-far segments keep m=-inf; exp against a 0 shift avoids
+        # the nan of exp(-inf - -inf) / 0*inf (their weights mask to 0)
+        m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        scale = jnp.where(jnp.isfinite(m_old), jnp.exp(m_old - m_safe), 0.0)
+        # per-edge shift via a tiny one-hot matmul, then ONE [1, BE] exp —
+        # exponentiating the full [S_BLK, BE] matrix costs S_BLK x the
+        # transcendental work for the same result. Valid edges always have
+        # logit <= their segment max, so the min(., 0) clamp only tames
+        # out-of-block lanes (whose m_edge is 0) before the mask zeroes them.
+        m_edge = jax.lax.dot(m_safe.reshape(1, S_BLK), onehot,
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+        w_vec = jnp.exp(jnp.minimum(logits - m_edge, 0.0))     # [1, BE]
+        wo = onehot * w_vec
+        acc_ref[:] = acc_ref[:] * scale + jax.lax.dot(
+            wo, data_vmem[pl.ds(off, BE), :].astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        den_ref[:] = den_ref[:] * scale + jnp.sum(wo, axis=1, keepdims=True)
+        m_ref[:] = m_new
+
+    _double_buffered(num_chunks, base,
+                     [(data_hbm, data_vmem, sem_d),
+                      (logit_hbm, logit_vmem, sem_w),
+                      (seg_hbm, seg_vmem, sem_s)], compute)
+    out_ref[:] = acc_ref[:]
+    outm_ref[:] = m_ref[:]
+    outd_ref[:] = den_ref[:]
+
+
+def _pallas_softmax(data, logits, csr: CSR):
+    nb = csr.num_blocks
+    n_pad = nb * S_BLK
+    f = data.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec((S_BLK, f), lambda b, bp: (b, 0)),
+                   pl.BlockSpec((S_BLK, 1), lambda b, bp: (b, 0)),
+                   pl.BlockSpec((S_BLK, 1), lambda b, bp: (b, 0))],
+        scratch_shapes=[
+            pltpu.VMEM((2 * BE, f), data.dtype),
+            pltpu.VMEM((2 * BE,), jnp.float32),
+            pltpu.VMEM((2 * BE,), jnp.int32),
+            pltpu.VMEM((S_BLK, f), jnp.float32),
+            pltpu.VMEM((S_BLK, 1), jnp.float32),
+            pltpu.VMEM((S_BLK, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out, m, den = pl.pallas_call(
+        _softmax_kernel,
+        out_shape=[jax.ShapeDtypeStruct((n_pad, f), jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad, 1), jnp.float32)],
+        grid_spec=grid_spec,
+        interpret=_use_interpret(),
+    )(csr.block_ptr, data, logits, csr.seg_local)
+    return (out[:csr.num_segments], m[:csr.num_segments, 0],
+            den[:csr.num_segments, 0])
+
+
 def _scalar_kernel(block_ptr_ref, w_hbm, seg_hbm, out_ref,
                    w_vmem, seg_vmem, acc_ref, sem_w, sem_s):
     """Per-segment sum of a scalar edge array (VPU only, no feature DMA)."""
@@ -376,31 +477,6 @@ def _scalar_kernel(block_ptr_ref, w_hbm, seg_hbm, out_ref,
                          base + k * BE)
         acc_ref[:] += jnp.sum(onehot * w_vmem[pl.ds(off, BE)][None, :],
                               axis=1, keepdims=True)
-
-    _double_buffered(num_chunks, base,
-                     [(w_hbm, w_vmem, sem_w),
-                      (seg_hbm, seg_vmem, sem_s)], compute)
-    out_ref[:] = acc_ref[:]
-
-
-def _scalar_max_kernel(block_ptr_ref, w_hbm, seg_hbm, out_ref,
-                       w_vmem, seg_vmem, acc_ref, sem_w, sem_s):
-    """Per-segment max of a scalar edge array (the exact softmax shift).
-    Empty segments stay -inf (callers replace with 0)."""
-    b = pl.program_id(0)
-    e_start = block_ptr_ref[b]
-    e_end = block_ptr_ref[b + 1]
-    acc_ref[:] = jnp.full_like(acc_ref, -jnp.inf)
-    base = (e_start // BE) * BE
-    num_chunks = pl.cdiv(e_end - base, BE)
-
-    def compute(k, slot):
-        off = slot * BE
-        member = _member(seg_vmem[pl.ds(off, BE)], e_start, e_end,
-                         base + k * BE)
-        vals = jnp.where(member, w_vmem[pl.ds(off, BE)][None, :], -jnp.inf)
-        acc_ref[:] = jnp.maximum(acc_ref[:],
-                                 jnp.max(vals, axis=1, keepdims=True))
 
     _double_buffered(num_chunks, base,
                      [(w_hbm, w_vmem, sem_w),
@@ -436,10 +512,6 @@ def _pallas_scalar_call(kernel, w, csr: CSR):
 
 def _pallas_scalar(w, csr: CSR):
     return _pallas_scalar_call(_scalar_kernel, w, csr)
-
-
-def _pallas_scalar_max(w, csr: CSR):
-    return _pallas_scalar_call(_scalar_max_kernel, w, csr)
 
 
 # ---------------------------------------------------------------------------
@@ -588,13 +660,41 @@ def _gather_bwd(axis, res, g):
 csr_gather.defvjp(_gather_fwd, _gather_bwd)
 
 
-def csr_scalar_segment_max(w, csr: CSR):
-    """Per-segment max of a scalar edge array, [E] -> [num_segments] f32.
+@jax.custom_vjp
+def _csr_softmax_raw(messages, logits, csr: CSR):
+    """One-pass online-softmax aggregation (kernel): returns the
+    UNNORMALIZED (numerator [S, F], per-segment max m [S], denominator
+    den [S]) so callers can cross-shard-combine before dividing.
 
-    Non-differentiable by design (the softmax shift is detached); empty
-    segments return -inf."""
-    return _pallas_scalar_max(
-        _pad_edges(jax.lax.stop_gradient(w).astype(jnp.float32), csr), csr)
+    m's cotangent is discarded (the softmax shift is detached, matching
+    torch_geometric's softmax)."""
+    padded, f = _pad_features(_pad_edges(messages, csr))
+    num, m, den = _pallas_softmax(
+        padded, _pad_edges(logits.astype(jnp.float32), csr), csr)
+    return num[:, :f], m, den
+
+
+def _softmax_raw_fwd(messages, logits, csr):
+    num, m, den = _csr_softmax_raw(messages, logits, csr)
+    return (num, m, den), (messages, logits, csr, m)
+
+
+def _softmax_raw_bwd(res, cots):
+    messages, logits, csr, m = res
+    g_num, _g_m, g_den = cots
+    e = messages.shape[0]
+    ids = jnp.minimum(csr.dst_sorted[:e], csr.num_segments - 1)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    w = jnp.exp(logits.astype(jnp.float32) - m_safe[ids])
+    gn_e = _edge_cotangent(g_num, csr, e)   # [E, F], sentinels zeroed
+    gd_e = _edge_cotangent(g_den, csr, e)   # [E]
+    d_messages = w[:, None] * gn_e
+    d_logits = w * (jnp.sum(messages.astype(jnp.float32) * gn_e, axis=-1)
+                    + gd_e)
+    return d_messages.astype(jnp.float32), d_logits, None
+
+
+_csr_softmax_raw.defvjp(_softmax_raw_fwd, _softmax_raw_bwd)
 
 
 def csr_segment_mean(data, csr: CSR, axis_name: str = None):
@@ -613,30 +713,27 @@ def csr_attention_aggregate(messages, logits, csr: CSR, eps: float = 1e-16,
     """GAT aggregation: softmax(logits per segment)-weighted message sum.
 
     Identical math to segment_softmax + segment_sum, with the EXACT
-    per-segment max shift (csr_scalar_segment_max kernel — a single global
-    max would underflow exp() to zero for destinations whose logits sit
-    ~88 below the hottest edge, silently zeroing those nodes' outputs and
-    gradients):
+    per-segment max shift computed ONLINE inside the one-pass kernel
+    (_softmax_kernel; a single global max would underflow exp() to zero
+    for destinations whose logits sit ~88 below the hottest edge,
+    silently zeroing those nodes' outputs and gradients):
       out[s] = sum_e w_e * m_e / sum_e w_e,
       w_e = exp(logit_e - max_{e' in seg(e)} logit_{e'})
 
     With axis_name (edge-sharded shard_map): per-shard segment maxima
-    pmax-combine so every shard shifts by the global per-segment max, and
-    the numerator/denominator partial sums psum-combine — attention
-    normalizes over ALL incoming edges while each device only reduces its
-    local edge shard.
+    pmax-combine, each shard's numerator/denominator rescale by
+    exp(m_shard - m_global) and psum — attention normalizes over ALL
+    incoming edges while each device only reduces its local edge shard.
     """
-    e = logits.shape[0]
-    seg_max = csr_scalar_segment_max(logits, csr)
+    num, m, den = _csr_softmax_raw(messages, logits, csr)
     if axis_name is not None:
-        seg_max = jax.lax.pmax(seg_max, axis_name)
-    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)  # empty segs
-    ids = jnp.minimum(csr.dst_sorted[:e], csr.num_segments - 1)
-    w = jnp.exp(logits - seg_max[ids])
-    num, den = csr_weighted_segment_sum(messages, w, csr)
-    if axis_name is not None:
-        num = jax.lax.psum(num, axis_name)
-        den = jax.lax.psum(den, axis_name)
+        m = jax.lax.stop_gradient(m)
+        m_g = jax.lax.pmax(m, axis_name)
+        r = jnp.where(jnp.isfinite(m),
+                      jnp.exp(m - jnp.where(jnp.isfinite(m_g), m_g, 0.0)),
+                      0.0)
+        num = jax.lax.psum(num * r[:, None], axis_name)
+        den = jax.lax.psum(den * r, axis_name)
     return num / jnp.maximum(den, eps)[:, None]
 
 
