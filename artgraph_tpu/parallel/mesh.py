@@ -36,7 +36,9 @@ def distributed_init(coordinator: Optional[str] = None,
     """
     if not coordinator:
         return
-    if jax.process_count() > 1:
+    # NOTE: this check must not touch the XLA backend (jax.process_count()
+    # would initialize it, after which initialize() refuses to run)
+    if jax.distributed.is_initialized():
         return  # a pod launcher already initialized the distributed runtime
     try:
         jax.distributed.initialize(coordinator_address=coordinator,
