@@ -8,7 +8,7 @@ from artgraph_tpu.data.datasets import (
     LabelProjectionDataset,
     Subset,
 )
-from artgraph_tpu.data.loader import DataLoader, device_prefetch, prepare_dataloader
+from artgraph_tpu.data.loader import DataLoader, prepare_dataloader
 from artgraph_tpu.data.resident import ResidentLoader
 from artgraph_tpu.data.factories import (
     load_dataset,
@@ -30,7 +30,6 @@ __all__ = [
     "Subset",
     "DataLoader",
     "ResidentLoader",
-    "device_prefetch",
     "prepare_dataloader",
     "load_dataset",
     "load_dataset_multimodal",

@@ -9,8 +9,8 @@ with a TPU-native pipeline:
   * every batch has a STATIC shape: the final ragged batch is padded to
     batch_size and an explicit f32 validity mask is appended, so the jitted
     train step never recompiles (XLA static-shape requirement);
-  * `device_prefetch` ships batches to HBM ahead of time with a NamedSharding
-    (the `jax.device_put` analog of pinned-memory async H2D copies).
+  * device placement/prefetch is the Trainer's job (`Trainer._prefetched`
+    overlaps H2D with compute one batch ahead).
 """
 from __future__ import annotations
 
@@ -177,23 +177,3 @@ def pipeline(iterator, size: int = 2):
                 raise err[0]
             return
         yield item
-
-
-def device_prefetch(iterator, shardings=None, size: int = 2):
-    """Move batches to device(s) `size` steps ahead of consumption.
-
-    `shardings` is a tuple (or single sharding) applied via jax.device_put;
-    None leaves placement to JAX (single-device default). This is the
-    TPU-native analog of pinned-memory non_blocking H2D copies
-    (ref: train_baseline.py:56-57).
-    """
-    import jax
-
-    def put(batch):
-        if shardings is None:
-            return jax.device_put(batch)
-        if isinstance(shardings, (tuple, list)):
-            return tuple(jax.device_put(b, s) for b, s in zip(batch, shardings))
-        return tuple(jax.device_put(b, shardings) for b in batch)
-
-    return pipeline(map(put, iterator), size=size)

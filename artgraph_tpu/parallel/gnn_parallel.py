@@ -95,7 +95,7 @@ def make_sharded_forward(model, mesh: Mesh, axis: str = "data"):
     outputs are fully replicated. Differentiable (psum transposes correctly),
     so it can sit inside a jitted train step's loss function.
     """
-    from jax.experimental.shard_map import shard_map
+    from artgraph_tpu.parallel.mesh import shard_map
 
     edge_spec = P(None, axis)  # shard the E dimension of [2, E]
 
@@ -114,8 +114,7 @@ def make_sharded_forward(model, mesh: Mesh, axis: str = "data"):
             @functools.partial(
                 shard_map, mesh=mesh,
                 in_specs=(P(), P(), edge_specs),
-                out_specs=P(),
-                check_rep=False)
+                out_specs=P())
             def sharded(variables, x_dict, edges_shard):
                 return apply(variables, x_dict, edges_shard, None)
 
@@ -129,8 +128,7 @@ def make_sharded_forward(model, mesh: Mesh, axis: str = "data"):
         @functools.partial(
             shard_map, mesh=mesh,
             in_specs=(P(), P(), edge_specs, csr_specs),
-            out_specs=P(),
-            check_rep=False)
+            out_specs=P())
         def sharded_csr(variables, x_dict, edges_shard, csr_shard):
             csr_local = jax.tree_util.tree_map(lambda a: a[0], csr_shard)
             return apply(variables, x_dict, edges_shard, csr_local)

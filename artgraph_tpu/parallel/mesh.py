@@ -16,11 +16,19 @@ This subsystem is NEW CAPABILITY — the reference is strictly single-device
 """
 from __future__ import annotations
 
+import functools as _functools
 from typing import Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.8: top-level shard_map with check_vma
+    from jax import shard_map as _jax_shard_map
+    shard_map = _functools.partial(_jax_shard_map, check_vma=False)
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _jax_shard_map
+    shard_map = _functools.partial(_jax_shard_map, check_rep=False)
 
 
 def distributed_init(coordinator: Optional[str] = None,

@@ -38,18 +38,10 @@ from artgraph_tpu.data.loader import pipeline
 from artgraph_tpu.models.resnet import bn_batch_mask, bn_psum_axis
 from artgraph_tpu.models.vit import force_xla_attention
 from artgraph_tpu.ops.preprocess import normalize_images
-from artgraph_tpu.parallel.mesh import batch_sharding, replicated
+from artgraph_tpu.parallel.mesh import (batch_sharding, replicated,
+                                        shard_map as _shard_map)
 from artgraph_tpu.train.losses import loss_psum_axis, psum_if_sharded
 from artgraph_tpu.train.train_state import TrainState
-
-import functools as _functools
-
-try:  # jax >= 0.8: top-level shard_map with check_vma
-    from jax import shard_map as _jax_shard_map
-    _shard_map = _functools.partial(_jax_shard_map, check_vma=False)
-except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map as _jax_shard_map
-    _shard_map = _functools.partial(_jax_shard_map, check_rep=False)
 
 
 def accuracy_metrics(logits, labels, mask, prefix="") -> Dict[str, jnp.ndarray]:
