@@ -24,7 +24,7 @@ from typing import Any, Dict
 import flax.linen as nn
 import jax.numpy as jnp
 
-from artgraph_tpu.models.resnet import ResNet50
+from artgraph_tpu.models.resnet import ResNet50, at_least_f32
 from artgraph_tpu.models.vit import ViT
 
 Dtype = Any
@@ -33,15 +33,16 @@ RESNET_DIM = 2048
 
 
 class _Head(nn.Module):
-    """Dropout -> Linear classifier head (f32 logits)."""
+    """Dropout -> Linear classifier head (f32 logits, or wider under f64)."""
 
     num_out: int
     dropout: float = 0.0
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        return nn.Dense(self.num_out, dtype=jnp.float32,
+        return nn.Dense(self.num_out, dtype=at_least_f32(self.dtype),
                         param_dtype=jnp.float32, name="linear")(x)
 
 
@@ -55,7 +56,8 @@ class ResnetSingleTask(nn.Module):
     @nn.compact
     def __call__(self, img, train: bool = False):
         feat = ResNet50(dtype=self.dtype, name="resnet")(img, train=train)
-        return _Head(self.num_class, self.dropout, name="classifier")(feat, train)
+        return _Head(self.num_class, self.dropout, dtype=self.dtype,
+                     name="classifier")(feat, train)
 
 
 class ResnetMultiTask(nn.Module):
@@ -67,9 +69,9 @@ class ResnetMultiTask(nn.Module):
     def __call__(self, img, train: bool = False):
         feat = ResNet50(dtype=self.dtype, name="resnet")(img, train=train)
         out_style = _Head(self.num_classes["style"], self.dropout,
-                          name="style_classifier")(feat, train)
+                          dtype=self.dtype, name="style_classifier")(feat, train)
         out_genre = _Head(self.num_classes["genre"], self.dropout,
-                          name="genre_classifier")(feat, train)
+                          dtype=self.dtype, name="genre_classifier")(feat, train)
         return [out_style, out_genre]
 
 
@@ -81,7 +83,8 @@ class ViTSingleTask(nn.Module):
     @nn.compact
     def __call__(self, img, train: bool = False):
         feat = ViT(dtype=self.dtype, name="vit")(img, train=train)
-        return _Head(self.num_class, self.dropout, name="head")(feat, train)
+        return _Head(self.num_class, self.dropout, dtype=self.dtype,
+                     name="head")(feat, train)
 
 
 class ViTMultiTask(nn.Module):
@@ -93,9 +96,9 @@ class ViTMultiTask(nn.Module):
     def __call__(self, img, train: bool = False):
         feat = ViT(dtype=self.dtype, name="vit")(img, train=train)
         out_style = _Head(self.num_classes["style"], self.dropout,
-                          name="style_classifier")(feat, train)
+                          dtype=self.dtype, name="style_classifier")(feat, train)
         out_genre = _Head(self.num_classes["genre"], self.dropout,
-                          name="genre_classifier")(feat, train)
+                          dtype=self.dtype, name="genre_classifier")(feat, train)
         return [out_style, out_genre]
 
 
@@ -158,7 +161,8 @@ class MultiModalSingleTask(nn.Module):
         feat = ResNet50(dtype=self.dtype, name="resnet")(img, train=train)
         graph_proj = _TanhEncoder(self.emb_size, name="encoder")(feat)
         concat = jnp.concatenate([feat, graph_proj], axis=1)
-        out = _Head(self.num_class, 0.2, name="classifier")(concat, train)
+        out = _Head(self.num_class, 0.2, dtype=self.dtype,
+                    name="classifier")(concat, train)
         return out, graph_proj
 
 
@@ -172,9 +176,9 @@ class MultiModalMultiTask(nn.Module):
         feat = ResNet50(dtype=self.dtype, name="resnet")(img, train=train)
         graph_proj = _TanhEncoder(self.emb_size, name="encoder")(feat)
         concat = jnp.concatenate([feat, graph_proj], axis=1)
-        out_style = _Head(self.num_classes["style"], 0.2,
+        out_style = _Head(self.num_classes["style"], 0.2, dtype=self.dtype,
                           name="class_style")(concat, train)
-        out_genre = _Head(self.num_classes["genre"], 0.2,
+        out_genre = _Head(self.num_classes["genre"], 0.2, dtype=self.dtype,
                           name="class_genre")(concat, train)
         return [out_style, out_genre], graph_proj
 
@@ -192,7 +196,8 @@ class NewMultiModalSingleTask(nn.Module):
     def __call__(self, img, embedding, train: bool = False):
         feat = ResNet50(dtype=self.dtype, name="resnet")(img, train=train)
         comb = jnp.concatenate([feat, embedding.astype(jnp.float32)], axis=1)
-        return _Head(self.num_class, self.dropout, name="classifier")(comb, train)
+        return _Head(self.num_class, self.dropout, dtype=self.dtype,
+                     name="classifier")(comb, train)
 
 
 class NewMultiModalMultiTask(nn.Module):
@@ -210,9 +215,9 @@ class NewMultiModalMultiTask(nn.Module):
         comb_genre = jnp.concatenate(
             [feat, embedding_genre.astype(jnp.float32)], axis=1)
         out_style = _Head(self.num_classes["style"], self.dropout,
-                          name="class_style")(comb_style, train)
+                          dtype=self.dtype, name="class_style")(comb_style, train)
         out_genre = _Head(self.num_classes["genre"], self.dropout,
-                          name="class_genre")(comb_genre, train)
+                          dtype=self.dtype, name="class_genre")(comb_genre, train)
         return [out_style, out_genre]
 
 
@@ -226,7 +231,8 @@ class NewMultiModalSingleTaskVit(nn.Module):
     def __call__(self, img, embedding, train: bool = False):
         feat = ViT(dtype=self.dtype, name="vit")(img, train=train)
         comb = jnp.concatenate([feat, embedding.astype(jnp.float32)], axis=1)
-        return _Head(self.num_class, self.dropout, name="classifier")(comb, train)
+        return _Head(self.num_class, self.dropout, dtype=self.dtype,
+                     name="classifier")(comb, train)
 
 
 class NewMultiModalMultiTaskViT(nn.Module):
@@ -244,9 +250,9 @@ class NewMultiModalMultiTaskViT(nn.Module):
         comb_genre = jnp.concatenate(
             [feat, embedding_genre.astype(jnp.float32)], axis=1)
         out_style = _Head(self.num_classes["style"], self.dropout,
-                          name="class_style")(comb_style, train)
+                          dtype=self.dtype, name="class_style")(comb_style, train)
         out_genre = _Head(self.num_classes["genre"], self.dropout,
-                          name="class_genre")(comb_genre, train)
+                          dtype=self.dtype, name="class_genre")(comb_genre, train)
         return [out_style, out_genre]
 
 

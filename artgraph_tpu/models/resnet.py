@@ -24,6 +24,17 @@ import jax.numpy as jnp
 
 Dtype = Any
 
+
+def at_least_f32(dtype) -> jnp.dtype:
+    """f32, or wider if the compute dtype is already wider.
+
+    The models' precision-critical casts (BN statistics, residual adds,
+    pooled features) must UPcast bf16 to f32 but must not DOWNcast f64 —
+    f64 compute is how the torch training-trajectory parity tests
+    (tests/test_train_trajectory.py) remove f32 conv-summation noise."""
+    return jnp.promote_types(dtype, jnp.float32)
+
+
 # Trace-time channel for the batch-validity mask: trainers normalize losses
 # by the mask, and BN statistics must be masked the same way or the ragged
 # final batch's zero-padded rows skew every BN layer's mean/var (the
@@ -88,8 +99,9 @@ class MixedBatchNorm(nn.Module):
         gamma = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         beta = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
 
+        stats_dtype = at_least_f32(x.dtype)
         if train:
-            xf = x.astype(jnp.float32)
+            xf = x.astype(stats_dtype)
             axes = tuple(range(x.ndim - 1))
             mask = _BATCH_MASK.get()
             spatial = 1
@@ -182,8 +194,9 @@ class Bottleneck(nn.Module):
         # NOTE: the f32 upcast around the residual add measures FASTER than a
         # bf16 add on v5e (2847 vs 2674 img/s) — it fuses with MixedBN's
         # scale-shift epilogue; don't "optimize" this to bf16.
-        return nn.relu(out.astype(jnp.float32)
-                       + identity.astype(jnp.float32)).astype(self.dtype)
+        add_dtype = at_least_f32(self.dtype)
+        return nn.relu(out.astype(add_dtype)
+                       + identity.astype(add_dtype)).astype(self.dtype)
 
 
 class ResNet50(nn.Module):
@@ -220,4 +233,4 @@ class ResNet50(nn.Module):
                 )(x, train=train)
 
         # AdaptiveAvgPool2d(1) + flatten -> [B, 2048]
-        return jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        return jnp.mean(x.astype(at_least_f32(self.dtype)), axis=(1, 2))

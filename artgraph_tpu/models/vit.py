@@ -23,6 +23,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from artgraph_tpu.models.resnet import at_least_f32
+
 Dtype = Any
 
 # Trace-scope switch for the Pallas attention kernels. Under an AUTO-sharded
@@ -110,7 +112,16 @@ class Attention(nn.Module):
 
                 out = fused_attention(q, k, v)
             else:
-                out = jax.nn.dot_product_attention(q, k, v)
+                # Explicit einsum attention (timm's exact computation) rather
+                # than jax.nn.dot_product_attention: the latter computes at
+                # f32-level precision regardless of input dtype, which leaves
+                # ~1e-9 gradient noise on the key-projection bias (whose true
+                # gradient is exactly zero — softmax shift invariance). Under
+                # the f64 trajectory-parity tests Adam amplifies that noise
+                # to full-lr drift.
+                s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (head_dim ** -0.5)
+                p = jax.nn.softmax(s, axis=-1)
+                out = jnp.einsum("bhqk,bkhd->bqhd", p, v)
             out = out.reshape(B, N, C)
         return dense(C, name="proj")(out)
 
@@ -142,9 +153,11 @@ class Block(nn.Module):
     def __call__(self, x):
         # Residual stream stays in self.dtype (bf16 by default): +15% step
         # throughput on v5e, and strictly MORE precise than the reference's
-        # fp16-autocast residual adds. LayerNorm statistics compute in f32.
+        # fp16-autocast residual adds. LayerNorm statistics compute in f32
+        # (or wider when the compute dtype is wider — f64 parity tests).
         C = x.shape[-1]
-        ln = partial(nn.LayerNorm, epsilon=1e-6, dtype=jnp.float32,
+        ln = partial(nn.LayerNorm, epsilon=1e-6,
+                     dtype=at_least_f32(self.dtype),
                      param_dtype=jnp.float32)
         x = x + Attention(self.num_heads, dtype=self.dtype,
                           use_pallas=self.use_pallas_attention,
@@ -186,15 +199,16 @@ class ViT(nn.Module):
         x = jnp.concatenate(
             [jnp.broadcast_to(cls_token, (B, 1, self.embed_dim)).astype(self.dtype), x],
             axis=1)
-        # pos-embed add in f32, then the residual stream runs in self.dtype
-        x = (x.astype(jnp.float32) + pos_embed).astype(self.dtype)
+        # pos-embed add in f32 (or wider), then the residual stream runs in
+        # self.dtype
+        x = (x.astype(at_least_f32(self.dtype)) + pos_embed).astype(self.dtype)
 
         for i in range(self.depth):
             x = Block(self.num_heads, self.mlp_ratio, dtype=self.dtype,
                       use_pallas_attention=self.use_pallas_attention,
                       fuse_qkv=self.fuse_qkv, name=f"block{i}")(x)
 
-        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+        x = nn.LayerNorm(epsilon=1e-6, dtype=at_least_f32(self.dtype),
                          param_dtype=jnp.float32, name="norm")(x)
         if pool:
             # timm-0.4 forward_features contract: CLS token after final norm

@@ -51,10 +51,15 @@ def psum_if_sharded(value):
     return value
 
 
+def _f32_or_wider(x: jnp.ndarray) -> jnp.ndarray:
+    """Upcast to f32; keep f64 (the trajectory-parity tests run in f64)."""
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+
 def _masked(values: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
     """sum(values*weights)/sum(weights) in f32 (torch 'mean' reduction)."""
-    values = values.astype(jnp.float32)
-    weights = weights.astype(jnp.float32)
+    values = _f32_or_wider(values)
+    weights = weights.astype(values.dtype)
     num = psum_if_sharded(jnp.sum(values * weights))
     den = psum_if_sharded(jnp.sum(weights))
     return num / jnp.maximum(den, 1e-12)
@@ -67,7 +72,7 @@ def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
 
     logits: [B, C] (any float dtype; softmax in f32), labels: int [B].
     """
-    logp = jnn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    logp = jnn.log_softmax(_f32_or_wider(logits), axis=-1)
     per_sample = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
     weights = jnp.ones_like(per_sample)
     if class_weights is not None:
