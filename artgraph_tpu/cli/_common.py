@@ -101,17 +101,37 @@ def get_base_arguments() -> argparse.ArgumentParser:
 
 def make_loaders(datasets: Dict, batch_size: int, num_workers: int,
                  seed: int = config.GLOBAL_SEED, cache_dir: str = None,
-                 resident: bool = False):
-    """Reference loader kwargs (ref: train_baseline.py:23-25)."""
+                 resident: bool = False, mesh=None):
+    """Reference loader kwargs (ref: train_baseline.py:23-25).
+
+    `resident=True` keeps each split in HBM (data.resident); if a split
+    does not fit the device's free memory the loader WARNS and falls back
+    to the host DataLoader for that split. Over a data mesh, residency is
+    sharded: each device stores only its own rows (1/num_devices of the
+    bytes per chip)."""
     if cache_dir:
         from artgraph_tpu.data.cache import wrap_with_cache
         datasets = {name: wrap_with_cache(ds, cache_dir, name)
                     for name, ds in datasets.items()}
+    host_kwargs = dict(batch_size=batch_size, shuffle=True, drop_last=False,
+                       num_workers=num_workers, seed=seed)
     if resident:
-        from artgraph_tpu.data.resident import ResidentLoader
-        return {name: ResidentLoader(ds, batch_size=batch_size, shuffle=True,
-                                     drop_last=False, seed=seed)
-                for name, ds in datasets.items()}
+        import warnings
+
+        from artgraph_tpu.data.loader import DataLoader
+        from artgraph_tpu.data.resident import (ResidentCapacityError,
+                                                ResidentLoader)
+        loaders = {}
+        for name, ds in datasets.items():
+            try:
+                loaders[name] = ResidentLoader(
+                    ds, batch_size=batch_size, shuffle=True, drop_last=False,
+                    seed=seed, mesh=mesh)
+            except ResidentCapacityError as e:
+                warnings.warn(f"--resident_data: split {name!r} exceeds the "
+                              f"HBM budget ({e}); using the host loader")
+                loaders[name] = DataLoader(ds, **host_kwargs)
+        return loaders
     return prepare_dataloader(datasets, batch_size=batch_size,
                               num_workers=num_workers, shuffle=True,
                               drop_last=False, pin_memory=True, seed=seed)

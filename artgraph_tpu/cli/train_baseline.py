@@ -44,10 +44,11 @@ def main(argv=None):
     dataset_train, dataset_valid, dataset_test = load_dataset(
         base_dir=args.dataset_path, image_dir=args.image_path,
         mode='single_task', label=args.label, transform_type=args.architecture)
+    mesh = make_mesh(args)
     loaders = make_loaders({'train': dataset_train, 'valid': dataset_valid,
                             'test': dataset_test}, args.batch, args.num_workers,
                            cache_dir=args.image_cache,
-                           resident=args.resident_data)
+                           resident=args.resident_data, mesh=mesh)
 
     num_class = NUM_CLASSES[args.label]
     if args.architecture == 'resnet':
@@ -66,7 +67,7 @@ def main(argv=None):
         forward_inputs=lambda img, batch: (img,),
         compute_loss=single_task_loss(class_weights),
         transform_type=args.architecture,
-        mesh=make_mesh(args),
+        mesh=mesh,
         seed=config.GLOBAL_SEED,
     )
     state = trainer.init(next(iter(loaders['train'])))

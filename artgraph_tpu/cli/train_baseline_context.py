@@ -56,10 +56,11 @@ def main(argv=None):
         base_dir=args.dataset_path, image_dir=args.image_path,
         mode='single_task', label=args.label, emb_type=args.emb_type,
         emb_train=args.emb_train)
+    mesh = make_mesh(args)
     loaders = make_loaders({'train': dataset_train, 'valid': dataset_valid,
                             'test': dataset_test}, args.batch, args.num_workers,
                            cache_dir=args.image_cache,
-                           resident=args.resident_data)
+                           resident=args.resident_data, mesh=mesh)
 
     num_class = NUM_CLASSES[args.label]
     model_cls, model_name = NETS[args.net]
@@ -97,7 +98,7 @@ def main(argv=None):
         compute_loss=train_loss,
         eval_compute_loss=eval_loss,
         transform_type='resnet',
-        mesh=make_mesh(args),
+        mesh=mesh,
         seed=config.GLOBAL_SEED,
     )
     state = trainer.init(next(iter(loaders['train'])))

@@ -52,10 +52,11 @@ def main(argv=None):
     dataset_train, dataset_valid, dataset_test = load_dataset_multimodal(
         base_dir=args.dataset_path, image_dir=args.image_path,
         mode='multi_task', emb_type=args.emb_type, emb_train=args.emb_train)
+    mesh = make_mesh(args)
     loaders = make_loaders({'train': dataset_train, 'valid': dataset_valid,
                             'test': dataset_test}, args.batch, args.num_workers,
                            cache_dir=args.image_cache,
-                           resident=args.resident_data)
+                           resident=args.resident_data, mesh=mesh)
 
     model_cls, model_name = NETS[args.net]
     model = model_cls(emb_size=config.EMB_SIZE, num_classes=NUM_CLASSES)
@@ -99,7 +100,7 @@ def main(argv=None):
         compute_loss=train_loss,
         eval_compute_loss=eval_loss,
         transform_type='resnet',
-        mesh=make_mesh(args),
+        mesh=mesh,
         seed=config.GLOBAL_SEED,
     )
     state = trainer.init(next(iter(loaders['train'])))

@@ -41,10 +41,11 @@ def main(argv=None):
     dataset_train, dataset_valid, dataset_test = load_dataset(
         base_dir=args.dataset_path, image_dir=args.image_path,
         mode='multi_task', transform_type=args.architecture)
+    mesh = make_mesh(args)
     loaders = make_loaders({'train': dataset_train, 'valid': dataset_valid,
                             'test': dataset_test}, args.batch, args.num_workers,
                            cache_dir=args.image_cache,
-                           resident=args.resident_data)
+                           resident=args.resident_data, mesh=mesh)
 
     if args.architecture == 'resnet':
         model = ResnetMultiTask(NUM_CLASSES, args.dropout)
@@ -65,7 +66,7 @@ def main(argv=None):
         forward_inputs=lambda img, batch: (img,),
         compute_loss=multi_task_loss(cw_style, cw_genre, 0.6, 0.4),
         transform_type=args.architecture,
-        mesh=make_mesh(args),
+        mesh=mesh,
         seed=config.GLOBAL_SEED,
     )
     state = trainer.init(next(iter(loaders['train'])))

@@ -53,10 +53,11 @@ def main(argv=None):
         base_dir=args.dataset_path, image_dir=args.image_path, label=args.label,
         emb_type=args.emb_type, emb_train=args.emb_train,
         emb_valid=args.emb_valid, emb_test=args.emb_test)
+    mesh = make_mesh(args)
     loaders = make_loaders({'train': dataset_train, 'valid': dataset_valid,
                             'test': dataset_test}, args.batch, args.num_workers,
                            cache_dir=args.image_cache,
-                           resident=args.resident_data)
+                           resident=args.resident_data, mesh=mesh)
 
     num_class = NUM_CLASSES[args.label]
     model = NewMultiModalSingleTask(emb_size=config.EMB_SIZE,
@@ -73,7 +74,7 @@ def main(argv=None):
         forward_inputs=lambda img, batch: (img, batch[1]),
         compute_loss=single_task_loss(class_weights),
         transform_type='resnet',
-        mesh=make_mesh(args),
+        mesh=mesh,
         seed=config.GLOBAL_SEED,
     )
     state = trainer.init(next(iter(loaders['train'])))

@@ -68,10 +68,11 @@ def main(argv=None):
         emb_valid={'style': args.emb_valid_style, 'genre': args.emb_valid_genre},
         emb_test={'style': args.emb_test_style, 'genre': args.emb_test_genre},
         transform_type=args.architecture)
+    mesh = make_mesh(args)
     loaders = make_loaders({'train': dataset_train, 'valid': dataset_valid,
                             'test': dataset_test}, args.batch, args.num_workers,
                            cache_dir=args.image_cache,
-                           resident=args.resident_data)
+                           resident=args.resident_data, mesh=mesh)
 
     if args.architecture == 'resnet':
         model = NewMultiModalMultiTask(emb_size=config.EMB_SIZE,
@@ -97,7 +98,7 @@ def main(argv=None):
         forward_inputs=lambda img, batch: (img, batch[1], batch[2]),
         compute_loss=multi_task_loss(cw_s, cw_g, 0.5, 0.5),
         transform_type=args.architecture,
-        mesh=make_mesh(args),
+        mesh=mesh,
         seed=config.GLOBAL_SEED,
     )
     state = trainer.init(next(iter(loaders['train'])))

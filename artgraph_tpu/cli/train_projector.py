@@ -38,10 +38,11 @@ def main(argv=None):
     dataset_train, dataset_valid, dataset_test = load_dataset_projection(
         base_dir=args.dataset_path, image_dir=args.image_path,
         node_embedding=args.node_embedding, emb_type=args.emb_type)
+    mesh = make_mesh(args)
     loaders = make_loaders({'train': dataset_train, 'valid': dataset_valid,
                             'test': dataset_test}, args.batch, args.num_workers,
                            cache_dir=args.image_cache,
-                           resident=args.resident_data)
+                           resident=args.resident_data, mesh=mesh)
 
     if args.architecture == 'resnet':
         model = LabelProjector(emb_size=config.EMB_SIZE)
@@ -61,7 +62,7 @@ def main(argv=None):
         forward_inputs=lambda img, batch: (img,),
         compute_loss=compute_loss,
         transform_type='resnet',
-        mesh=make_mesh(args),
+        mesh=mesh,
         seed=config.GLOBAL_SEED,
     )
     state = trainer.init(next(iter(loaders['train'])))

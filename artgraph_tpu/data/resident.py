@@ -14,6 +14,28 @@ ships them to the device a single time, and then serves each batch as a
 jitted on-device gather: zero bulk H2D per step, identical batch order,
 padding and masks to the host DataLoader (same per-epoch shuffle rng).
 
+Capacity: the upload is guarded by an estimate of the dataset's bytes
+against the device's free HBM (`memory_stats()`); when it does not fit,
+`ResidentCapacityError` is raised and the CLI layer falls back to the host
+DataLoader with a warning (cli/_common.py::make_loaders). For the real
+ArtGraph splits at 224px uint8 (~150 KB/image): test 17,471 rows ≈ 2.6 GB
+fits; a >100k-row train split ≈ 15+ GB does NOT fit a single 16 GB v5e —
+use `mesh=` residency, which stores only each device's own rows
+(1/num_devices of the bytes per chip).
+
+Sharded residency (`mesh=`): rows are placed block-cyclically — global row
+i of an (unshuffled) epoch belongs to the device that consumes it inside
+the shard_map DP step, i.e. device (i % batch_size) // (batch_size / D).
+Batches are produced by a jitted shard_map gather: each device reads ONLY
+its own resident rows (zero cross-device traffic) and the concatenated
+output is a global jax.Array sharded P(axis) over the batch dimension —
+exactly what Trainer._build_train_step_shardmap consumes. With
+shuffle=False the yielded values are identical to the host DataLoader's;
+with shuffle=True each device shuffles its own residency per epoch (same
+rng scheme, folded with the device index), which preserves exactly-once
+coverage but permutes rows differently from the host loader (documented
+deviation — a global shuffle would defeat device-local residency).
+
 The reference has no analog (its DataLoader re-reads JPEGs every epoch,
 ref: src/data/data.py:38-49); this is the TPU-native answer to the same
 hot loop.
@@ -23,18 +45,53 @@ from __future__ import annotations
 import numpy as np
 
 
+class ResidentCapacityError(RuntimeError):
+    """Dataset does not fit the HBM budget; use the host loader instead."""
+
+    def __init__(self, need: int, free: int, budget: int):
+        self.need, self.free, self.budget = need, free, budget
+        super().__init__(
+            f"resident dataset needs ~{need / 1e9:.2f} GB but the HBM "
+            f"budget is {budget / 1e9:.2f} GB (free {free / 1e9:.2f} GB); "
+            "falling back to the host loader (or shard residency over a "
+            "mesh: each device then holds 1/num_devices of the rows)")
+
+
+def estimate_nbytes(dataset) -> int:
+    """Estimated resident footprint: one row's bytes x len(dataset)."""
+    row = dataset.get_batch(np.zeros(1, dtype=np.int64))
+    return int(sum(np.asarray(c).nbytes for c in row)) * len(dataset)
+
+
+def _device_budget(device, frac: float):
+    """(free_bytes, budget_bytes) from the device's allocator stats, or
+    (None, None) when the platform does not report them (CPU tests)."""
+    try:
+        stats = device.memory_stats()
+    except Exception:
+        return None, None
+    if not stats or "bytes_limit" not in stats:
+        return None, None
+    free = int(stats["bytes_limit"]) - int(stats.get("bytes_in_use", 0))
+    return free, int(frac * free)
+
+
 class ResidentLoader:
     """Drop-in replacement for data.loader.DataLoader (same iterator
     contract: yields (components..., f32 mask) with static shapes) whose
-    batches never leave the device.
+    batches never leave the device(s).
 
     Args match DataLoader; `num_workers` is accepted and ignored (there is
-    no host work to parallelize after upload).
+    no host work to parallelize after upload). `mesh`/`axis` select
+    sharded residency (see module docstring). `budget_frac` bounds the
+    upload to that fraction of currently-free device memory;
+    `hbm_budget_bytes` overrides the measured budget (tests).
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, num_workers: int = 0, seed: int = 1,
-                 pad_last: bool = True):
+                 pad_last: bool = True, mesh=None, axis: str = "data",
+                 budget_frac: float = 0.6, hbm_budget_bytes: int = None):
         import jax
         import jax.numpy as jnp
 
@@ -47,26 +104,85 @@ class ResidentLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.pad_last = pad_last
+        self.mesh = mesh
+        self.axis = axis
         self.n = len(dataset)
         self._epoch = 0
+        self._jnp = jnp
+
+        D = 1 if mesh is None else mesh.shape[axis]
+        if mesh is not None and batch_size % D:
+            raise ValueError(f"batch_size {batch_size} not divisible by the "
+                             f"{axis} axis size {D}")
+        if mesh is not None and not pad_last and self.n % batch_size:
+            raise ValueError("sharded residency requires pad_last=True when "
+                             "the dataset is ragged (static shard shapes)")
+
+        # capacity guard BEFORE materializing the full dataset
+        self.nbytes = estimate_nbytes(dataset)
+        device = (jax.devices()[0] if mesh is None
+                  else mesh.devices.flat[0])
+        per_device = self.nbytes // D
+        if hbm_budget_bytes is not None:
+            free = budget = int(hbm_budget_bytes)
+        else:
+            free, budget = _device_budget(device, budget_frac)
+        if budget is not None and per_device > budget:
+            raise ResidentCapacityError(per_device, free, budget)
 
         comps = dataset.get_batch(np.arange(self.n, dtype=np.int64))
-        self.nbytes = int(sum(np.asarray(c).nbytes for c in comps))
-        self.data = tuple(jax.device_put(np.asarray(c)) for c in comps)
+        comps = tuple(np.asarray(c) for c in comps)
 
-        def gather(data, idx):
-            return tuple(a[idx] for a in data)
+        if mesh is None:
+            self.data = tuple(jax.device_put(c) for c in comps)
 
-        self._gather = jax.jit(gather)
-        self._jnp = jnp
+            def gather(data, idx):
+                return tuple(a[idx] for a in data)
+
+            self._gather = jax.jit(gather)
+            return
+
+        # ---- sharded residency -------------------------------------------
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from artgraph_tpu.parallel.mesh import shard_map
+
+        pb = batch_size // D
+        # block-cyclic: global row i -> device (i % B) // pb, local slot
+        # (i // B) * pb + (i % pb). Device-local valid counts differ by at
+        # most pb; pad every device's store to the common length.
+        i = np.arange(self.n)
+        dev_of = (i % batch_size) // pb
+        self._n_local = np.bincount(dev_of, minlength=D)
+        n_pad = int(
+            (self._n_local.max() + pb - 1) // pb * pb) if self.n else pb
+        stores = []
+        for c in comps:
+            store = np.zeros((D, n_pad) + c.shape[1:], dtype=c.dtype)
+            for d in range(D):
+                rows = c[dev_of == d]
+                store[d, :len(rows)] = rows
+            stores.append(store)
+        sharded = NamedSharding(mesh, P(axis))
+        self.data = tuple(jax.device_put(s, sharded) for s in stores)
+
+        def local_gather(data, idx):
+            # data leaves [1, n_pad, ...], idx [1, pb] -> [pb, ...]
+            return tuple(a[0][idx[0]] for a in data)
+
+        self._gather = jax.jit(shard_map(
+            local_gather, mesh=mesh,
+            in_specs=(tuple(P(axis) for _ in self.data), P(axis)),
+            out_specs=tuple(P(axis) for _ in self.data)))
+        self._idx_sharding = sharded
+        self._pb, self._D = pb, D
 
     def __len__(self) -> int:
         if self.drop_last:
             return self.n // self.batch_size
         return (self.n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self):
-        self._epoch += 1
+    def _iter_single(self):
         order = np.arange(self.n)
         if self.shuffle:
             # identical rng scheme to DataLoader._batch_indices so host and
@@ -90,3 +206,35 @@ class ResidentLoader:
                 idx = np.pad(idx, (0, B - k))  # gather row 0 into pad slots
             batch = self._gather(self.data, self._jnp.asarray(idx))
             yield (*batch, mask)
+
+    def _iter_sharded(self):
+        import jax
+
+        D, pb, B = self._D, self._pb, self.batch_size
+        n_batches = len(self)
+        # per-device local orders ([D, n_local_max]); valid prefix only
+        orders = []
+        for d in range(D):
+            o = np.arange(self._n_local[d])
+            if self.shuffle:
+                rng = np.random.default_rng((self.seed, self._epoch, d))
+                rng.shuffle(o)
+            orders.append(o)
+        for k in range(n_batches):
+            idx = np.zeros((D, pb), dtype=np.int64)
+            mask = np.zeros((D, pb), dtype=np.float32)
+            for d in range(D):
+                sl = orders[d][k * pb:(k + 1) * pb]
+                idx[d, :len(sl)] = sl
+                mask[d, :len(sl)] = 1.0
+            batch = self._gather(
+                self.data, jax.device_put(idx, self._idx_sharding))
+            if not self.pad_last:  # divisible dataset: no-mask contract
+                yield batch
+            else:
+                yield (*batch, mask.reshape(B))
+
+    def __iter__(self):
+        self._epoch += 1
+        return (self._iter_single() if self.mesh is None
+                else self._iter_sharded())
