@@ -150,6 +150,9 @@ class GATConv(nn.Module):
             # (h @ a)[src] == (h[src]) @ a — so its gradient rides the
             # message gather's VJP for free. Under edge sharding
             # (axis_name set) the aggregate psum/pmax-combines over ICI.
+            # (A further-fused kernel computing the logits in-kernel was
+            # built and MEASURED SLOWER — the kernels are per-chunk-latency
+            # bound, see CLAUDE.md perf log — don't re-litigate.)
             msgs = csr_gather(h_src, csr, "src")
             a_src_e = (msgs @ att_src)[:, 0]
             a_dst_e = csr_gather(alpha_dst, csr, "dst")

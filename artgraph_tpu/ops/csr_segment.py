@@ -556,7 +556,9 @@ def csr_segment_sum(data, csr: CSR, axis_name: str = None):
 
 
 def _sum_fwd(data, csr):
-    return _csr_segment_sum(data, csr), (csr, data.shape[0])
+    # zero-size dtype witness: dtype objects are not valid residual leaves
+    return _csr_segment_sum(data, csr), (csr, data.shape[0],
+                                         jnp.zeros((0,), data.dtype))
 
 
 def _edge_cotangent(g, csr, e):
@@ -571,8 +573,8 @@ def _edge_cotangent(g, csr, e):
 
 
 def _sum_bwd(res, g):
-    csr, e = res
-    return _edge_cotangent(g, csr, e).astype(jnp.float32), None
+    csr, e, wit = res
+    return _edge_cotangent(g, csr, e).astype(wit.dtype), None
 
 
 _csr_segment_sum.defvjp(_sum_fwd, _sum_bwd)
@@ -601,7 +603,7 @@ def _wsum_bwd(res, cots):
     d_data = w[:, None] * g_edge
     d_w = jnp.sum(data.astype(jnp.float32) * g_edge, axis=-1) \
         + _edge_cotangent(g_w, csr, e)
-    return d_data.astype(jnp.float32), d_w, None
+    return d_data.astype(data.dtype), d_w.astype(w.dtype), None
 
 
 csr_weighted_segment_sum.defvjp(_wsum_fwd, _wsum_bwd)
@@ -614,12 +616,13 @@ def csr_scalar_segment_sum(w, csr: CSR):
 
 
 def _ssum_fwd(w, csr):
-    return csr_scalar_segment_sum(w, csr), (csr, w.shape[0])
+    return csr_scalar_segment_sum(w, csr), (csr, w.shape[0],
+                                            jnp.zeros((0,), w.dtype))
 
 
 def _ssum_bwd(res, g):
-    csr, e = res
-    return _edge_cotangent(g, csr, e), None
+    csr, e, wit = res
+    return _edge_cotangent(g, csr, e).astype(wit.dtype), None
 
 
 csr_scalar_segment_sum.defvjp(_ssum_fwd, _ssum_bwd)
@@ -640,11 +643,12 @@ def csr_gather(x, ecsr: EdgeCSR, axis: str):
 
 
 def _gather_fwd(x, ecsr, axis):
-    return csr_gather(x, ecsr, axis), (ecsr, x.shape[0])
+    return csr_gather(x, ecsr, axis), (ecsr, x.shape[0],
+                                       jnp.zeros((0,), x.dtype))
 
 
 def _gather_bwd(axis, res, g):
-    ecsr, n = res
+    ecsr, n, wit = res
     if axis == "src":
         g = g[ecsr.src_perm]  # reorder cotangents into src-sorted order
         csr = ecsr.src
@@ -654,7 +658,7 @@ def _gather_bwd(axis, res, g):
         d_x = csr_scalar_segment_sum(g, csr)
     else:
         d_x = csr_segment_sum(g, csr)
-    return d_x[:n], None
+    return d_x[:n].astype(wit.dtype), None
 
 
 csr_gather.defvjp(_gather_fwd, _gather_bwd)
@@ -685,13 +689,16 @@ def _softmax_raw_bwd(res, cots):
     e = messages.shape[0]
     ids = jnp.minimum(csr.dst_sorted[:e], csr.num_segments - 1)
     m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
-    w = jnp.exp(logits.astype(jnp.float32) - m_safe[ids])
+    # valid edges have logit <= their segment max; the clamp only tames
+    # SENTINEL edges (clamped ids point at a foreign segment, where exp
+    # could overflow to inf and turn 0-cotangents into NaN)
+    w = jnp.exp(jnp.minimum(logits.astype(jnp.float32) - m_safe[ids], 0.0))
     gn_e = _edge_cotangent(g_num, csr, e)   # [E, F], sentinels zeroed
     gd_e = _edge_cotangent(g_den, csr, e)   # [E]
     d_messages = w[:, None] * gn_e
     d_logits = w * (jnp.sum(messages.astype(jnp.float32) * gn_e, axis=-1)
                     + gd_e)
-    return d_messages.astype(jnp.float32), d_logits, None
+    return d_messages.astype(messages.dtype), d_logits.astype(logits.dtype), None
 
 
 _csr_softmax_raw.defvjp(_softmax_raw_fwd, _softmax_raw_bwd)

@@ -193,3 +193,25 @@ def test_heterosgnn_aggr_modes(synthetic_graph):
     np.testing.assert_allclose(outs["mean"], outs["sum"] / n_rel,
                                rtol=1e-5, atol=1e-6)
     assert not np.allclose(outs["max"], outs["sum"])
+
+
+def test_csr_attention_bf16_messages(edges):
+    """bf16 message stream through the softmax kernel: values track the f32
+    path at bf16 tolerance and the message cotangent comes back in bf16
+    (the VJPs are dtype-polymorphic; bf16 DMA was MEASURED no faster on v5e
+    — the kernels are per-chunk-latency bound, not bandwidth bound — so f32
+    stays the default, but the capability is pinned here)."""
+    se, csr, E, N = edges
+    rng = np.random.default_rng(8)
+    msgs = jnp.asarray(rng.normal(size=(E, 96)).astype(np.float32))
+    logits = jnp.asarray(rng.normal(size=(E,)).astype(np.float32))
+
+    ref = np.asarray(csr_attention_aggregate(msgs, logits, csr))
+    out = np.asarray(csr_attention_aggregate(msgs.astype(jnp.bfloat16),
+                                             logits, csr))
+    np.testing.assert_allclose(out, ref, rtol=3e-2, atol=3e-2)
+
+    g = jax.grad(lambda mm: jnp.sum(
+        csr_attention_aggregate(mm, logits, csr)))(msgs.astype(jnp.bfloat16))
+    assert g.dtype == jnp.bfloat16
+    assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
