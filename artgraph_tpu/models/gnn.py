@@ -35,6 +35,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from artgraph_tpu.data.artgraph import OneHot
+from artgraph_tpu.models.resnet import MixedBatchNorm, at_least_f32
 from artgraph_tpu.ops.csr_segment import (
     csr_attention_aggregate,
     csr_gather,
@@ -66,7 +67,8 @@ class TypedLinear(nn.Module):
         else:
             kernel = self.param("kernel", nn.initializers.lecun_normal(),
                                 (x.shape[-1], self.features), jnp.float32)
-            out = x.astype(jnp.float32) @ kernel
+            # at_least_f32: f64 inputs stay f64 (trajectory-parity tests)
+            out = x.astype(at_least_f32(x.dtype)) @ kernel
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)
@@ -293,7 +295,9 @@ class HeteroSGNN(nn.Module):
                 result[t] = acc
             else:
                 # PyG drops never-targeted types; zeros keep shapes total
-                result[t] = jnp.zeros((_rows(x[t]), features), jnp.float32)
+                dt = (jnp.float32 if isinstance(x[t], OneHot)
+                      else at_least_f32(x[t].dtype))
+                result[t] = jnp.zeros((_rows(x[t]), features), dt)
         return result
 
     @nn.compact
@@ -311,10 +315,16 @@ class HeteroSGNN(nn.Module):
                         self.hidden_channels, name=f"lin{layer}__{t}")(x[t])
             if self.bn:
                 for t in node_types:
-                    new_x[t] = nn.BatchNorm(
-                        use_running_average=not train, momentum=0.9,
-                        epsilon=1e-5, dtype=jnp.float32,
-                        name=f"bn{layer}__{t}")(new_x[t])
+                    # MixedBatchNorm (apply_dtype=None = dtype-polymorphic
+                    # f32 apply) rather than flax BatchNorm: torch stores the
+                    # UNBIASED batch variance in running_var (flax stores the
+                    # biased one), and the reference's saved embeddings are
+                    # an EVAL-mode forward through those running stats
+                    # (ref: train_gnn_embeddings.py:82-93) — the semantics
+                    # must be torch's for checkpoint/embedding parity.
+                    new_x[t] = MixedBatchNorm(
+                        momentum=0.9, epsilon=1e-5, apply_dtype=None,
+                        name=f"bn{layer}__{t}")(new_x[t], train=train)
             x = new_x  # next layer consumes PRE-activation (reference quirk)
             x_emb = {}
             for t in node_types:
@@ -388,9 +398,10 @@ class HomoGNN(nn.Module):
             if self.skip:
                 h = h + TypedLinear(self.hidden_channels,
                                     name=f"lin{layer}")(x)
-            # reference always applies bn here (models_graph.py:92)
-            h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, name=f"bn{layer}")(h)
+            # reference always applies bn here (models_graph.py:92);
+            # MixedBatchNorm for torch running-var semantics (see HeteroSGNN)
+            h = MixedBatchNorm(momentum=0.9, epsilon=1e-5, apply_dtype=None,
+                               name=f"bn{layer}")(h, train=train)
             x = h
         x_out = conv_cls(self.out_channels, name="conv_out")(
             x, x, edge_index, num_dst=n)

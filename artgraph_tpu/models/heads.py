@@ -112,9 +112,11 @@ class ContextNetSingleTask(nn.Module):
     @nn.compact
     def __call__(self, img, train: bool = False):
         feat = ResNet50(dtype=self.dtype, name="resnet")(img, train=train)
-        out = nn.Dense(self.num_class, dtype=jnp.float32,
+        # at_least_f32: f32 logits under bf16 compute, f64 under the
+        # trajectory-parity instrument (tests/test_train_trajectory.py)
+        out = nn.Dense(self.num_class, dtype=at_least_f32(self.dtype),
                        param_dtype=jnp.float32, name="classifier")(feat)
-        graph_proj = nn.Dense(self.emb_size, dtype=jnp.float32,
+        graph_proj = nn.Dense(self.emb_size, dtype=at_least_f32(self.dtype),
                               param_dtype=jnp.float32, name="encoder")(feat)
         return out, graph_proj
 
@@ -128,7 +130,7 @@ class ContextNetlMultiTask(nn.Module):
     @nn.compact
     def __call__(self, img, train: bool = False):
         feat = ResNet50(dtype=self.dtype, name="resnet")(img, train=train)
-        dense = lambda n, name: nn.Dense(n, dtype=jnp.float32,
+        dense = lambda n, name: nn.Dense(n, dtype=at_least_f32(self.dtype),
                                          param_dtype=jnp.float32, name=name)
         graph_proj = dense(self.emb_size, "encoder")(feat)
         out_style = dense(self.num_classes["style"], "class_style")(feat)
@@ -140,13 +142,15 @@ class ContextNetlMultiTask(nn.Module):
 
 class _TanhEncoder(nn.Module):
     emb_size: int
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.emb_size, dtype=jnp.float32,
+        dt = at_least_f32(self.dtype)
+        x = nn.Dense(self.emb_size, dtype=dt,
                      param_dtype=jnp.float32, name="fc1")(x)
         x = jnp.tanh(x)
-        x = nn.Dense(self.emb_size, dtype=jnp.float32,
+        x = nn.Dense(self.emb_size, dtype=dt,
                      param_dtype=jnp.float32, name="fc2")(x)
         return jnp.tanh(x)
 
@@ -159,7 +163,8 @@ class MultiModalSingleTask(nn.Module):
     @nn.compact
     def __call__(self, img, train: bool = False):
         feat = ResNet50(dtype=self.dtype, name="resnet")(img, train=train)
-        graph_proj = _TanhEncoder(self.emb_size, name="encoder")(feat)
+        graph_proj = _TanhEncoder(self.emb_size, dtype=self.dtype,
+                                  name="encoder")(feat)
         concat = jnp.concatenate([feat, graph_proj], axis=1)
         out = _Head(self.num_class, 0.2, dtype=self.dtype,
                     name="classifier")(concat, train)
@@ -174,7 +179,8 @@ class MultiModalMultiTask(nn.Module):
     @nn.compact
     def __call__(self, img, train: bool = False):
         feat = ResNet50(dtype=self.dtype, name="resnet")(img, train=train)
-        graph_proj = _TanhEncoder(self.emb_size, name="encoder")(feat)
+        graph_proj = _TanhEncoder(self.emb_size, dtype=self.dtype,
+                                  name="encoder")(feat)
         concat = jnp.concatenate([feat, graph_proj], axis=1)
         out_style = _Head(self.num_classes["style"], 0.2, dtype=self.dtype,
                           name="class_style")(concat, train)

@@ -16,7 +16,7 @@ from __future__ import annotations
 import contextlib
 import contextvars
 from functools import partial
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -87,10 +87,14 @@ class MixedBatchNorm(nn.Module):
 
     momentum: float = 0.9
     epsilon: float = 1e-5
-    apply_dtype: Dtype = jnp.bfloat16
+    # None = dtype-polymorphic: apply in at_least_f32(input dtype), which
+    # keeps f64 inputs f64 for the torch trajectory-parity instrument
+    apply_dtype: Optional[Dtype] = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        apply_dtype = (self.apply_dtype if self.apply_dtype is not None
+                       else at_least_f32(x.dtype))
         C = x.shape[-1]
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros(C, jnp.float32))
@@ -150,9 +154,9 @@ class MixedBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
 
         rstd = jax.lax.rsqrt(var + self.epsilon)
-        a = (gamma * rstd).astype(self.apply_dtype)
-        b = (beta - mean * gamma * rstd).astype(self.apply_dtype)
-        return x.astype(self.apply_dtype) * a + b
+        a = (gamma * rstd).astype(apply_dtype)
+        b = (beta - mean * gamma * rstd).astype(apply_dtype)
+        return x.astype(apply_dtype) * a + b
 
 
 class Bottleneck(nn.Module):

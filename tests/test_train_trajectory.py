@@ -21,10 +21,14 @@ reduction, dropout placement) still produces first-order divergence. The
 models are dtype-polymorphic (models.resnet.at_least_f32) precisely so this
 instrument exists.
 
-Covered trajectories (5 Adam steps each):
+Covered trajectories (5 optimizer steps each):
   ResnetSingleTask      — CE grads, Adam, BN batch-stat grads + running EMA
   ViTSingleTask         — LN/attention/GELU grads through a deep residual net
   NewMultiModalMultiTask — multi-task summed CE over concat(visual, embedding)
+  ContextNetSingleTask  — SGD(momentum 0.9) + joint 0.9*CE + 0.1*SmoothL1
+                          loss (ref: src/train_baseline_context.py:47-54) —
+                          the one reference trainer that is NOT Adam+CE
+(The GNN stage's trajectory parity lives in tests/test_gnn_trajectory.py.)
 """
 import numpy as np
 import pytest
@@ -41,8 +45,8 @@ from artgraph_tpu.checkpointing.torch_interop import (
     import_model_state,
 )
 from artgraph_tpu import models as m
-from artgraph_tpu.train import cross_entropy
-from artgraph_tpu.train.trainer import adam
+from artgraph_tpu.train import cross_entropy, smooth_l1
+from artgraph_tpu.train.trainer import adam, sgd_momentum
 
 from _torch_oracles import ResNet50Oracle, ViTOracle, randomize_bn_stats
 
@@ -63,10 +67,12 @@ def _np_sd(model: nn.Module) -> dict:
             for k, v in model.state_dict().items()}
 
 
-def _torch_trajectory(model: nn.Module, batches, loss_of):
-    """Run STEPS Adam steps in f64; return per-step losses + final state."""
+def _torch_trajectory(model: nn.Module, batches, loss_of, opt_factory=None):
+    """Run STEPS optimizer steps in f64; return per-step losses + state."""
     model.double()
-    opt = torch.optim.Adam(model.parameters(), lr=LR)
+    if opt_factory is None:
+        opt_factory = lambda ps: torch.optim.Adam(ps, lr=LR)
+    opt = opt_factory(model.parameters())
     model.train()
     losses = []
     for batch in batches:
@@ -78,8 +84,13 @@ def _torch_trajectory(model: nn.Module, batches, loss_of):
     return losses, _np_sd(model)
 
 
-def _jax_trajectory(model, variables, batches, loss_of):
-    """Mirror of _torch_trajectory on the flax side (jitted f64 step)."""
+def _jax_trajectory(model, variables, batches, loss_of, tx=None,
+                    n_model_args=None):
+    """Mirror of _torch_trajectory on the flax side (jitted f64 step).
+
+    n_model_args: how many leading batch elements the model consumes
+    (default: all but the last — extra trailing elements, e.g. regression
+    targets, are visible to loss_of via the full batch)."""
     with jax.enable_x64(True):
         params = jax.tree_util.tree_map(
             lambda a: jnp.asarray(np.asarray(a, np.float64)),
@@ -87,23 +98,26 @@ def _jax_trajectory(model, variables, batches, loss_of):
         stats = jax.tree_util.tree_map(
             lambda a: jnp.asarray(np.asarray(a, np.float64)),
             variables.get("batch_stats", {}))
-        tx = adam(LR)
+        if tx is None:
+            tx = adam(LR)
         opt_state = tx.init(params)
         has_bn = bool(stats)
 
         @jax.jit
         def step(params, stats, opt_state, batch):
+            n_in = len(batch) - 1 if n_model_args is None else n_model_args
+
             def loss_fn(p):
                 v = {"params": p}
                 if has_bn:
                     v["batch_stats"] = stats
-                    out, mut = model.apply(v, *batch[:-1], train=True,
+                    out, mut = model.apply(v, *batch[:n_in], train=True,
                                            mutable=["batch_stats"])
                     new_stats = mut["batch_stats"]
                 else:
-                    out = model.apply(v, *batch[:-1], train=True)
+                    out = model.apply(v, *batch[:n_in], train=True)
                     new_stats = stats
-                return loss_of(out, batch[-1]), new_stats
+                return loss_of(out, batch), new_stats
 
             (loss, new_stats), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
@@ -203,7 +217,7 @@ def test_resnet_single_task_trajectory():
     variables = import_model_state("ResnetSingleTask", sd0)
     j_losses, j_final = _jax_trajectory(
         jmodel, variables, batches,
-        lambda out, y: cross_entropy(out, y.astype(jnp.int32)))
+        lambda out, b: cross_entropy(out, b[-1].astype(jnp.int32)))
 
     np.testing.assert_allclose(j_losses, t_losses, rtol=1e-6)
     _compare_state("ResnetSingleTask", j_final, t_final)
@@ -237,7 +251,7 @@ def test_vit_single_task_trajectory():
     variables = import_model_state("ViTSingleTask", sd0)
     j_losses, j_final = _jax_trajectory(
         jmodel, variables, batches,
-        lambda out, y: cross_entropy(out, y.astype(jnp.int32)))
+        lambda out, b: cross_entropy(out, b[-1].astype(jnp.int32)))
 
     np.testing.assert_allclose(j_losses, t_losses, rtol=1e-6)
     _compare_state("ViTSingleTask", j_final, t_final)
@@ -288,8 +302,8 @@ def test_new_multimodal_multitask_trajectory():
         dtype=jnp.float64)
     variables = import_model_state("NewMultiModalMultiTask", sd0)
 
-    def j_loss(outs, y):
-        y = y.astype(jnp.int32)
+    def j_loss(outs, b):
+        y = b[-1].astype(jnp.int32)
         return (cross_entropy(outs[0], y[:, 0])
                 + cross_entropy(outs[1], y[:, 1]))
 
@@ -297,3 +311,67 @@ def test_new_multimodal_multitask_trajectory():
 
     np.testing.assert_allclose(j_losses, t_losses, rtol=1e-6)
     _compare_state("NewMultiModalMultiTask", j_final, t_final)
+
+
+def test_contextnet_sgd_smoothl1_trajectory():
+    """ContextNet is the one reference trainer that is NOT Adam + CE:
+    SGD(momentum=0.9) on the joint loss 0.9*CE(out, y) +
+    0.1*SmoothL1(graph_proj, emb) (ref: src/train_baseline_context.py:47-54).
+    Pins optax.sgd's trace-form momentum against torch.optim.SGD and the
+    SmoothL1 (huber beta=1) piecewise gradient."""
+    torch.manual_seed(3)
+    oracle = ResNet50Oracle()
+    randomize_bn_stats(oracle, seed=7)
+    EMB = 16
+    LAM = 0.9
+    # smaller LR than the Adam tests: at 1e-3 this SGD trajectory is
+    # UNSTABLE on the random-init heads (loss bounces 1.1 -> 3.5) and
+    # Lyapunov growth amplifies even the f64 noise floor ~30x/step past
+    # rtol by step 4; at 1e-4 the trajectory is stable and any real
+    # semantic mismatch still shows up at first order.
+    SGD_LR = 1e-4
+
+    class TorchModel(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.resnet = _seq_trunk(oracle)
+            self.classifier = nn.Linear(2048, 7)
+            self.encoder = nn.Linear(2048, EMB)
+
+        def forward(self, x):
+            f = torch.flatten(self.resnet(x), 1)
+            return self.classifier(f), self.encoder(f)
+
+    tmodel = TorchModel()
+    sd0 = _np_sd(tmodel)
+
+    rng = np.random.default_rng(3)
+    batches = _make_batches(rng, [((4, 64, 64, 3), "img", None),
+                                  ((4, EMB), "img", None),
+                                  ((4,), "label", 7)])
+
+    def t_loss(mm, b):
+        out, proj = mm(_timg(b[0]))
+        return (LAM * F.cross_entropy(out, torch.tensor(b[2]))
+                + (1 - LAM) * F.smooth_l1_loss(
+                    proj, torch.tensor(b[1]).double()))
+
+    t_losses, t_final = _torch_trajectory(
+        tmodel, batches, t_loss,
+        opt_factory=lambda ps: torch.optim.SGD(ps, lr=SGD_LR, momentum=0.9))
+
+    jmodel = m.ContextNetSingleTask(emb_size=EMB, num_class=7,
+                                    dtype=jnp.float64)
+    variables = import_model_state("ContextNetSingleTask", sd0)
+
+    def j_loss(outs, b):
+        out, proj = outs
+        return (LAM * cross_entropy(out, b[2].astype(jnp.int32))
+                + (1 - LAM) * smooth_l1(proj, b[1]))
+
+    j_losses, j_final = _jax_trajectory(
+        jmodel, variables, batches, j_loss,
+        tx=sgd_momentum(SGD_LR, 0.9), n_model_args=1)
+
+    np.testing.assert_allclose(j_losses, t_losses, rtol=1e-6)
+    _compare_state("ContextNetSingleTask", j_final, t_final)
