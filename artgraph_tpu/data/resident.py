@@ -182,7 +182,11 @@ class ResidentLoader:
             return self.n // self.batch_size
         return (self.n + self.batch_size - 1) // self.batch_size
 
-    def _iter_single(self):
+    def _epoch_plan(self):
+        """Host-side epoch schedule: ([n_batches, B] padded index matrix,
+        per-batch valid counts). One array so the epoch costs ONE index
+        upload instead of one per batch (each tiny device_put pays the full
+        host->device round-trip latency on tunneled platforms)."""
         order = np.arange(self.n)
         if self.shuffle:
             # identical rng scheme to DataLoader._batch_indices so host and
@@ -191,21 +195,52 @@ class ResidentLoader:
             rng.shuffle(order)
         stop = self.n - self.n % self.batch_size if self.drop_last else self.n
         B = self.batch_size
-        for start in range(0, stop, B):
+        starts = range(0, stop, B)
+        idx_all = np.zeros((len(starts), B), dtype=np.int64)
+        valid = []
+        for row, start in enumerate(starts):
             idx = order[start:start + B]
-            k = len(idx)
+            idx_all[row, :len(idx)] = idx  # pad slots gather row 0
+            valid.append(len(idx))
+        return idx_all, valid
+
+    def _iter_single(self):
+        idx_all, valid = self._epoch_plan()
+        idx_dev = self._jnp.asarray(idx_all)
+        B = self.batch_size
+        for row, k in enumerate(valid):
             if not self.pad_last:
                 # DataLoader's pad_last=False contract: NO mask on any
-                # batch (loader.py _finalize) — consistent tuple arity
-                batch = self._gather(self.data, self._jnp.asarray(idx))
-                yield batch
+                # batch, ragged final batch kept ragged (loader.py _finalize)
+                batch = self._gather(self.data, idx_dev[row])
+                yield batch if k == B else tuple(c[:k] for c in batch)
                 continue
             mask = np.zeros(B, np.float32)
             mask[:k] = 1.0
-            if k < B:
-                idx = np.pad(idx, (0, B - k))  # gather row 0 into pad slots
-            batch = self._gather(self.data, self._jnp.asarray(idx))
-            yield (*batch, mask)
+            yield (*self._gather(self.data, idx_dev[row]), mask)
+
+    def device_iter(self):
+        """(n_valid, batch_size, device_batch) epoch stream for
+        Trainer._prefetched: every component INCLUDING the mask lives on
+        device, uploaded in one transfer per epoch, and the valid counts
+        are known host-side — zero per-batch host->device traffic and no
+        device->host sync anywhere in the epoch. Single-device only (the
+        sharded iterator's per-device index blocks stay in __iter__)."""
+        if self.mesh is not None:
+            raise NotImplementedError("device_iter is single-device only")
+        self._epoch += 1
+        jnp = self._jnp
+        idx_all, valid = self._epoch_plan()
+        idx_dev = jnp.asarray(idx_all)
+        B = self.batch_size
+        mask_all = (np.arange(B)[None, :]
+                    < np.asarray(valid)[:, None]).astype(np.float32)
+        mask_dev = jnp.asarray(mask_all)
+        for row, k in enumerate(valid):
+            batch = self._gather(self.data, idx_dev[row])
+            if self.pad_last:
+                batch = (*batch, mask_dev[row])
+            yield float(k), B, batch
 
     def _iter_sharded(self):
         import jax

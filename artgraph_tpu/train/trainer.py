@@ -296,6 +296,15 @@ class Trainer:
         computed on the HOST copy in the producer so the consumer never
         forces a device->host sync per step.
         """
+        if self.mesh is None and hasattr(loader, "device_iter"):
+            # ResidentLoader fast path: batches (incl. masks) are already on
+            # device — one index/mask upload per EPOCH, valid counts known
+            # host-side, so the epoch runs with zero per-batch H2D and no
+            # sync (each small device_put costs a full round-trip on
+            # tunneled platforms; this closed most of the resident-epoch
+            # vs pure-step throughput gap).
+            return pipeline(loader.device_iter(), size=size)
+
         def gen():
             for batch in loader:
                 mask = batch[-1]

@@ -253,3 +253,30 @@ def test_resident_loader_matches_host_loader(synthetic_dataset, tmp_path):
                 np.testing.assert_array_equal(h[:k], r[:k])
             np.testing.assert_array_equal(np.asarray(hb[-1]),
                                           np.asarray(rb[-1]))
+
+
+def test_resident_device_iter_matches_host_loader(synthetic_dataset):
+    """device_iter (the Trainer fast path: one index+mask upload per epoch)
+    must produce the same (n_valid, batch_size, batch) stream the trainer's
+    host-loader producer would: identical shuffle order, masks, and valid
+    counts — and advance the epoch rng in lockstep with __iter__."""
+    from artgraph_tpu.data import ResidentLoader
+
+    train, _, _ = load_dataset(
+        synthetic_dataset["dataset_dir"], synthetic_dataset["image_dir"],
+        mode="single_task", label="style")
+    host = DataLoader(train, batch_size=10, shuffle=True, num_workers=0,
+                      seed=3)
+    res = ResidentLoader(train, batch_size=10, shuffle=True, seed=3)
+    for _ in range(2):  # epoch rng must advance identically
+        stream = list(res.device_iter())
+        assert len(stream) == len(host)
+        for hb, (n, bsize, rb) in zip(host, stream):
+            hmask = np.asarray(hb[-1])
+            assert bsize == hmask.shape[0]
+            assert n == float(hmask.sum())
+            np.testing.assert_array_equal(hmask, np.asarray(rb[-1]))
+            k = int(n)
+            for h, r in zip(hb[:-1], rb[:-1]):
+                np.testing.assert_array_equal(
+                    np.asarray(h)[:k], np.asarray(r)[:k])
