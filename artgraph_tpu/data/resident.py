@@ -34,7 +34,12 @@ shuffle=False the yielded values are identical to the host DataLoader's;
 with shuffle=True each device shuffles its own residency per epoch (same
 rng scheme, folded with the device index), which preserves exactly-once
 coverage but permutes rows differently from the host loader (documented
-deviation — a global shuffle would defeat device-local residency).
+deviation — a global shuffle would defeat device-local residency). A
+second deviation follows for drop_last=True: the dropped remainder always
+comes from each device's OWN tail, so the devices holding the block-cyclic
+remainder rows are systematically under-sampled, where the host loader
+drops a uniformly random global tail. No CLI uses drop_last with sharded
+residency; prefer pad_last (masked) epochs there.
 
 The reference has no analog (its DataLoader re-reads JPEGs every epoch,
 ref: src/data/data.py:38-49); this is the TPU-native answer to the same
@@ -156,15 +161,29 @@ class ResidentLoader:
         self._n_local = np.bincount(dev_of, minlength=D)
         n_pad = int(
             (self._n_local.max() + pb - 1) // pb * pb) if self.n else pb
-        stores = []
-        for c in comps:
-            store = np.zeros((D, n_pad) + c.shape[1:], dtype=c.dtype)
-            for d in range(D):
-                rows = c[dev_of == d]
-                store[d, :len(rows)] = rows
-            stores.append(store)
         sharded = NamedSharding(mesh, P(axis))
-        self.data = tuple(jax.device_put(s, sharded) for s in stores)
+        # Shards are materialized per device via the callback so the host
+        # never holds a second full-dataset copy (the padded [D, n_pad]
+        # store) — only one 1/D-sized shard buffer is live at a time, and
+        # each component of `comps` is dropped as soon as it is resident.
+        # Matters at exactly the scale sharding exists for: a ~15 GB train
+        # split would otherwise need ~30 GB of host RAM during __init__.
+        comps = list(comps)
+        data = []
+        for ci, c in enumerate(comps):
+            shape = (D, n_pad) + c.shape[1:]
+
+            def make_shard(index, _c=c):
+                d = index[0].start or 0
+                rows = _c[dev_of == d]
+                buf = np.zeros((1, n_pad) + _c.shape[1:], dtype=_c.dtype)
+                buf[0, :len(rows)] = rows
+                return buf
+
+            data.append(jax.make_array_from_callback(
+                shape, sharded, make_shard))
+            comps[ci] = None
+        self.data = tuple(data)
 
         def local_gather(data, idx):
             # data leaves [1, n_pad, ...], idx [1, pb] -> [pb, ...]
@@ -228,6 +247,11 @@ class ResidentLoader:
         sharded iterator's per-device index blocks stay in __iter__)."""
         if self.mesh is not None:
             raise NotImplementedError("device_iter is single-device only")
+        if not self.pad_last:
+            # pad_last=False batches are ragged (no mask to exclude the
+            # row-0 pad duplicates) — that contract only exists on
+            # __iter__; the trainer stream is always masked.
+            raise NotImplementedError("device_iter requires pad_last=True")
         self._epoch += 1
         jnp = self._jnp
         idx_all, valid = self._epoch_plan()
@@ -238,9 +262,7 @@ class ResidentLoader:
         mask_dev = jnp.asarray(mask_all)
         for row, k in enumerate(valid):
             batch = self._gather(self.data, idx_dev[row])
-            if self.pad_last:
-                batch = (*batch, mask_dev[row])
-            yield float(k), B, batch
+            yield float(k), B, (*batch, mask_dev[row])
 
     def _iter_sharded(self):
         import jax

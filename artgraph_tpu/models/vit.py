@@ -118,10 +118,18 @@ class Attention(nn.Module):
                 # ~1e-9 gradient noise on the key-projection bias (whose true
                 # gradient is exactly zero — softmax shift invariance). Under
                 # the f64 trajectory-parity tests Adam amplifies that noise
-                # to full-lr drift.
-                s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (head_dim ** -0.5)
+                # to full-lr drift. Scores and softmax accumulate in
+                # at_least_f32(dtype): the 197-term sums lose ~1e-2 rel in
+                # raw bf16 (this path serves the ragged final batch and the
+                # auto-sharded jit fallback, so it must match the Pallas
+                # kernel's f32 softmax), while f64 stays f64 for parity.
+                acc = at_least_f32(self.dtype)
+                s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                               preferred_element_type=acc) * (head_dim ** -0.5)
                 p = jax.nn.softmax(s, axis=-1)
-                out = jnp.einsum("bhqk,bkhd->bqhd", p, v)
+                out = jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(acc),
+                                 preferred_element_type=acc)
+                out = out.astype(self.dtype)
             out = out.reshape(B, N, C)
         return dense(C, name="proj")(out)
 

@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 from jax import nn as jnn
 
+from artgraph_tpu.models.resnet import at_least_f32
+
 _PSUM_AXIS: contextvars.ContextVar = contextvars.ContextVar(
     "loss_psum_axis", default=None)
 
@@ -52,8 +54,9 @@ def psum_if_sharded(value):
 
 
 def _f32_or_wider(x: jnp.ndarray) -> jnp.ndarray:
-    """Upcast to f32; keep f64 (the trajectory-parity tests run in f64)."""
-    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+    """Upcast to f32; keep f64 (the trajectory-parity tests run in f64).
+    Same policy as the models' at_least_f32 — one shared definition."""
+    return x.astype(at_least_f32(x.dtype))
 
 
 def _masked(values: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:

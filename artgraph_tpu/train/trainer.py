@@ -296,7 +296,8 @@ class Trainer:
         computed on the HOST copy in the producer so the consumer never
         forces a device->host sync per step.
         """
-        if self.mesh is None and hasattr(loader, "device_iter"):
+        if (self.mesh is None and hasattr(loader, "device_iter")
+                and getattr(loader, "pad_last", False)):
             # ResidentLoader fast path: batches (incl. masks) are already on
             # device — one index/mask upload per EPOCH, valid counts known
             # host-side, so the epoch runs with zero per-batch H2D and no

@@ -446,23 +446,36 @@ def bench_profile(model_name: str = "vit", batch: int = 128,
             parts[f"stage{si + 1}_eval_bn"] = bn_timeit(
                 _Stage(width=w, blocks=blocks, stride=stride), x, train=False)
 
-        # optimizer: full-tree Adam update
+        # optimizer: full-tree Adam update. The real step runs Adam INSIDE
+        # the one jitted program (donated state, no separate dispatch), so
+        # the honest estimate of its compute share chains K dependent
+        # updates inside ONE jit (fori_loop) and two-point-times K=5 vs
+        # K=25: per-call dispatch/marshalling of the ~480-leaf state tree
+        # (several ms on the tunnel) cancels out.
         tx = optax.adam(3e-4)
-        opt_state = tx.init(variables["params"])
+        p0 = jax.tree_util.tree_map(jnp.copy, variables["params"])
+        s0 = tx.init(p0)
         grads = jax.tree_util.tree_map(jnp.ones_like, variables["params"])
 
-        @jax.jit
-        def opt_step(g, s, p):
-            updates, s2 = tx.update(g, s, p)
-            return optax.apply_updates(p, updates), s2
+        def opt_many(k):
+            def run(g, s, p):
+                def body(_, sp):
+                    s, p = sp
+                    updates, s2 = tx.update(g, s, p)
+                    return (s2, optax.apply_updates(p, updates))
+                return jax.lax.fori_loop(0, k, body, (s, p))
+            return jax.jit(run)
 
-        p2, s2 = opt_step(grads, opt_state, variables["params"])
-        jax.block_until_ready(p2)
-        t0 = time.perf_counter()
-        for _ in range(20):
-            p2, s2 = opt_step(grads, opt_state, variables["params"])
-        np.asarray(jax.tree_util.tree_leaves(p2)[0])
-        parts["adam_update"] = (time.perf_counter() - t0) / 20 * 1000
+        def opt_time(k, n=10):
+            f = opt_many(k)
+            out = f(grads, s0, p0)
+            np.asarray(jax.tree_util.tree_leaves(out)[0])  # hard sync
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out = f(grads, s0, p0)
+            np.asarray(jax.tree_util.tree_leaves(out)[0])
+            return (time.perf_counter() - t0) / n
+        parts["adam_update"] = (opt_time(25) - opt_time(5)) / 20 * 1000
 
     # emit a trace of a few full fwd+bwd passes for offline tools
     g = jax.jit(jax.value_and_grad(
