@@ -80,6 +80,12 @@ def get_base_arguments() -> argparse.ArgumentParser:
                              'HBM and gather batches on device (zero bulk '
                              'H2D per step). Needs the uint8 dataset + '
                              'embeddings to fit in HBM (~150KB/image).')
+    parser.add_argument('--no_epoch_scan', action='store_true',
+                        help='With --resident_data, keep per-batch step '
+                             'dispatch instead of compiling the epoch as '
+                             'one lax.scan program (the scan is faster '
+                             'per epoch but its first compile can take '
+                             'minutes before the XLA cache warms).')
     parser.add_argument('--init_checkpoint', type=str, default=None,
                         help='Warm-start from a .pt checkpoint: a full '
                              'reference checkpoint of this model, or a '
@@ -101,7 +107,7 @@ def get_base_arguments() -> argparse.ArgumentParser:
 
 def make_loaders(datasets: Dict, batch_size: int, num_workers: int,
                  seed: int = config.GLOBAL_SEED, cache_dir: str = None,
-                 resident: bool = False, mesh=None):
+                 resident: bool = False, mesh=None, epoch_scan: bool = True):
     """Reference loader kwargs (ref: train_baseline.py:23-25).
 
     `resident=True` keeps each split in HBM (data.resident); if a split
@@ -126,7 +132,7 @@ def make_loaders(datasets: Dict, batch_size: int, num_workers: int,
             try:
                 loaders[name] = ResidentLoader(
                     ds, batch_size=batch_size, shuffle=True, drop_last=False,
-                    seed=seed, mesh=mesh)
+                    seed=seed, mesh=mesh, epoch_scan=epoch_scan)
             except ResidentCapacityError as e:
                 warnings.warn(f"--resident_data: split {name!r} exceeds the "
                               f"HBM budget ({e}); using the host loader")

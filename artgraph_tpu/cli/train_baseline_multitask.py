@@ -45,7 +45,8 @@ def main(argv=None):
     loaders = make_loaders({'train': dataset_train, 'valid': dataset_valid,
                             'test': dataset_test}, args.batch, args.num_workers,
                            cache_dir=args.image_cache,
-                           resident=args.resident_data, mesh=mesh)
+                           resident=args.resident_data, mesh=mesh,
+                           epoch_scan=not args.no_epoch_scan)
 
     if args.architecture == 'resnet':
         model = ResnetMultiTask(NUM_CLASSES, args.dropout)

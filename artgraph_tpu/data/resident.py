@@ -96,7 +96,8 @@ class ResidentLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, num_workers: int = 0, seed: int = 1,
                  pad_last: bool = True, mesh=None, axis: str = "data",
-                 budget_frac: float = 0.6, hbm_budget_bytes: int = None):
+                 budget_frac: float = 0.6, hbm_budget_bytes: int = None,
+                 epoch_scan: bool = True):
         import jax
         import jax.numpy as jnp
 
@@ -111,6 +112,11 @@ class ResidentLoader:
         self.pad_last = pad_last
         self.mesh = mesh
         self.axis = axis
+        # Consent bit for Trainer's epoch-as-one-program fast path (fewer
+        # dispatches, but the scanned epoch is one big XLA program whose
+        # FIRST compile can take minutes on slow toolchains — the
+        # persistent compilation cache amortizes it across runs).
+        self.epoch_scan = epoch_scan
         self.n = len(dataset)
         self._epoch = 0
         self._jnp = jnp
@@ -238,38 +244,55 @@ class ResidentLoader:
             mask[:k] = 1.0
             yield (*self._gather(self.data, idx_dev[row]), mask)
 
+    def epoch_arrays(self):
+        """One epoch's device-side schedule, ONE upload per epoch:
+        (index matrix, f32 mask matrix, host-side per-batch valid counts).
+        Single device: [n_batches, B] each. Sharded: [n_batches, D, pb]
+        each, sharded P(None, axis) so lax.scan slices yield per-device
+        index blocks. The Trainer's epoch-scan fast path consumes this
+        directly (gathers run inside its scan / shard_map); device_iter
+        wraps it as a per-batch stream. Advances the shuffle epoch.
+        Requires pad_last=True (the masked-batch contract)."""
+        if not self.pad_last:
+            # pad_last=False batches are ragged (no mask to exclude the
+            # row-0 pad duplicates) — that contract only exists on
+            # __iter__; the trainer stream is always masked.
+            raise NotImplementedError("epoch_arrays requires pad_last=True")
+        self._epoch += 1
+        if self.mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            idx_all, mask_all, valid = self._plan_sharded()
+            sh = NamedSharding(self.mesh, P(None, self.axis))
+            return (jax.device_put(idx_all, sh),
+                    jax.device_put(mask_all, sh), valid)
+        idx_all, valid = self._epoch_plan()
+        B = self.batch_size
+        mask_all = (np.arange(B)[None, :]
+                    < np.asarray(valid)[:, None]).astype(np.float32)
+        return (self._jnp.asarray(idx_all), self._jnp.asarray(mask_all),
+                valid)
+
     def device_iter(self):
         """(n_valid, batch_size, device_batch) epoch stream for
         Trainer._prefetched: every component INCLUDING the mask lives on
         device, uploaded in one transfer per epoch, and the valid counts
         are known host-side — zero per-batch host->device traffic and no
-        device->host sync anywhere in the epoch. Single-device only (the
-        sharded iterator's per-device index blocks stay in __iter__)."""
-        if self.mesh is not None:
-            raise NotImplementedError("device_iter is single-device only")
-        if not self.pad_last:
-            # pad_last=False batches are ragged (no mask to exclude the
-            # row-0 pad duplicates) — that contract only exists on
-            # __iter__; the trainer stream is always masked.
-            raise NotImplementedError("device_iter requires pad_last=True")
-        self._epoch += 1
-        jnp = self._jnp
-        idx_all, valid = self._epoch_plan()
-        idx_dev = jnp.asarray(idx_all)
+        device->host sync anywhere in the epoch."""
+        idx_dev, mask_dev, valid = self.epoch_arrays()
         B = self.batch_size
-        mask_all = (np.arange(B)[None, :]
-                    < np.asarray(valid)[:, None]).astype(np.float32)
-        mask_dev = jnp.asarray(mask_all)
         for row, k in enumerate(valid):
             batch = self._gather(self.data, idx_dev[row])
             yield float(k), B, (*batch, mask_dev[row])
 
-    def _iter_sharded(self):
-        import jax
-
-        D, pb, B = self._D, self._pb, self.batch_size
-        n_batches = len(self)
-        # per-device local orders ([D, n_local_max]); valid prefix only
+    def _plan_sharded(self):
+        """Host-side sharded epoch schedule: ([nb, D, pb] per-device index
+        blocks, [nb, D, pb] f32 masks, per-batch GLOBAL valid counts).
+        Only the final batch can be ragged (device-local row counts differ
+        by at most pb, so every k < nb-1 block is full on every device)."""
+        D, pb = self._D, self._pb
+        nb = len(self)
         orders = []
         for d in range(D):
             o = np.arange(self._n_local[d])
@@ -277,19 +300,31 @@ class ResidentLoader:
                 rng = np.random.default_rng((self.seed, self._epoch, d))
                 rng.shuffle(o)
             orders.append(o)
-        for k in range(n_batches):
-            idx = np.zeros((D, pb), dtype=np.int64)
-            mask = np.zeros((D, pb), dtype=np.float32)
+        idx_all = np.zeros((nb, D, pb), dtype=np.int64)
+        mask_all = np.zeros((nb, D, pb), dtype=np.float32)
+        valid = []
+        for k in range(nb):
+            tot = 0
             for d in range(D):
                 sl = orders[d][k * pb:(k + 1) * pb]
-                idx[d, :len(sl)] = sl
-                mask[d, :len(sl)] = 1.0
+                idx_all[k, d, :len(sl)] = sl
+                mask_all[k, d, :len(sl)] = 1.0
+                tot += len(sl)
+            valid.append(tot)
+        return idx_all, mask_all, valid
+
+    def _iter_sharded(self):
+        import jax
+
+        B = self.batch_size
+        idx_all, mask_all, valid = self._plan_sharded()
+        for k in range(len(valid)):
             batch = self._gather(
-                self.data, jax.device_put(idx, self._idx_sharding))
+                self.data, jax.device_put(idx_all[k], self._idx_sharding))
             if not self.pad_last:  # divisible dataset: no-mask contract
                 yield batch
             else:
-                yield (*batch, mask.reshape(B))
+                yield (*batch, mask_all[k].reshape(B))
 
     def __iter__(self):
         self._epoch += 1

@@ -44,6 +44,15 @@ from artgraph_tpu.train.losses import loss_psum_axis, psum_if_sharded
 from artgraph_tpu.train.train_state import TrainState
 
 
+def _epoch_totals(ms, mask_all):
+    """Reference metric accumulation over a scanned epoch: per-batch loss
+    weighted by its valid count (loss.item() * n summed, ref:
+    train_baseline.py:68-70); other metrics (correct counts) are sums."""
+    ns = jnp.sum(mask_all, axis=tuple(range(1, mask_all.ndim)))
+    return {k: jnp.sum(v * ns) if k == "loss" else jnp.sum(v, 0)
+            for k, v in ms.items()}
+
+
 def accuracy_metrics(logits, labels, mask, prefix="") -> Dict[str, jnp.ndarray]:
     """Masked correct-prediction count (the reference's accuracy numerator).
     Global over the mesh axis inside a loss_psum_axis scope (shard_map DP)."""
@@ -77,6 +86,8 @@ class Trainer:
         self._train_step = None
         self._train_step_masked = None  # ragged-final-batch variant
         self._eval_step = None
+        self._train_epoch_scan = None   # resident epoch-as-one-program
+        self._eval_epoch_scan = None
         self._host_step = 0  # host-side twin of state.step: keeps rng
                              # derivation off the device (no sync per step)
 
@@ -131,46 +142,45 @@ class Trainer:
         # _attention_ctx falls back to XLA's partitionable attention.
         if self.mesh is not None and not masked:
             return self._build_train_step_shardmap(has_bn)
-        model = self.model
 
         def step_fn(state: TrainState, rng, *batch):
-            images = normalize_images(batch[0], self.transform_type)
-            inputs = self.forward_inputs(images, batch)
-
-            def loss_fn(params):
-                variables = {"params": params}
-                if has_bn:
-                    variables["batch_stats"] = state.batch_stats
-                    outputs, mut = model.apply(
-                        variables, *inputs, train=True,
-                        rngs={"dropout": rng}, mutable=["batch_stats"])
-                    new_stats = mut["batch_stats"]
-                else:
-                    outputs = model.apply(variables, *inputs, train=True,
-                                          rngs={"dropout": rng})
-                    new_stats = state.batch_stats
-                loss, metrics = self.compute_loss(outputs, batch)
-                return loss, (metrics, new_stats)
-
-            # The ragged final batch's BN statistics must ignore the padded
-            # rows (the reference trains on a smaller unpadded batch). Full
-            # batches use the unmasked variant — zero overhead on the hot
-            # path; this masked step compiles lazily, at most once.
-            ctx = (bn_batch_mask(batch[-1]) if (masked and has_bn)
-                   else _NULL_CTX)
-            with ctx, self._attention_ctx():
-                (loss, (metrics, new_stats)), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(state.params)
-            updates, opt_state = self.tx.update(grads, state.opt_state,
-                                                state.params)
-            params = optax.apply_updates(state.params, updates)
-            new_state = TrainState(step=state.step + 1, params=params,
-                                   batch_stats=new_stats, opt_state=opt_state)
-            metrics = dict(metrics)
-            metrics["loss"] = loss
-            return new_state, metrics
+            return self._train_step_math(state, rng, batch, has_bn, masked)
 
         return jax.jit(step_fn, donate_argnums=(0,))
+
+    def _train_step_math(self, state: TrainState, rng, batch,
+                         has_bn: bool, masked: bool):
+        """One fwd+bwd+update: the traced body shared by the per-batch
+        jitted step and the resident epoch scan (one compilation each)."""
+        model = self.model
+        images = normalize_images(batch[0], self.transform_type)
+        inputs = self.forward_inputs(images, batch)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if has_bn:
+                variables["batch_stats"] = state.batch_stats
+                outputs, mut = model.apply(
+                    variables, *inputs, train=True,
+                    rngs={"dropout": rng}, mutable=["batch_stats"])
+                new_stats = mut["batch_stats"]
+            else:
+                outputs = model.apply(variables, *inputs, train=True,
+                                      rngs={"dropout": rng})
+                new_stats = state.batch_stats
+            loss, metrics = self.compute_loss(outputs, batch)
+            return loss, (metrics, new_stats)
+
+        # The ragged final batch's BN statistics must ignore the padded
+        # rows (the reference trains on a smaller unpadded batch). Full
+        # batches use the unmasked variant — zero overhead on the hot
+        # path; this masked step compiles lazily, at most once.
+        ctx = (bn_batch_mask(batch[-1]) if (masked and has_bn)
+               else _NULL_CTX)
+        with ctx, self._attention_ctx():
+            (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+        return self._apply_update(state, grads, new_stats, metrics, loss)
 
     def _build_train_step_shardmap(self, has_bn: bool):
         """DP train step as an explicit shard_map over the 'data' axis.
@@ -181,42 +191,10 @@ class Trainer:
         global via bn_psum_axis, gradients psum across shards. Dropout rng
         folds in the device index so masks decorrelate across shards.
         """
-        model = self.model
         mesh = self.mesh
 
         def sharded_body(state: TrainState, rng, *batch):
-            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
-            images = normalize_images(batch[0], self.transform_type)
-            inputs = self.forward_inputs(images, batch)
-
-            def loss_fn(params):
-                variables = {"params": params}
-                if has_bn:
-                    variables["batch_stats"] = state.batch_stats
-                    outputs, mut = model.apply(
-                        variables, *inputs, train=True,
-                        rngs={"dropout": rng}, mutable=["batch_stats"])
-                    new_stats = mut["batch_stats"]
-                else:
-                    outputs = model.apply(variables, *inputs, train=True,
-                                          rngs={"dropout": rng})
-                    new_stats = state.batch_stats
-                loss, metrics = self.compute_loss(outputs, batch)
-                return loss, (metrics, new_stats)
-
-            bn_ctx = bn_psum_axis("data") if has_bn else _NULL_CTX
-            with loss_psum_axis("data"), bn_ctx:
-                (loss, (metrics, new_stats)), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(state.params)
-            # The loss is GLOBAL (psum'd numerator/denominator). Under
-            # shard_map's check_vma=False AD convention the transpose of
-            # psum is psum, so each device's grad is an axis_size-scaled
-            # local partial: pmean reconstructs the exact global gradient
-            # (psum of partials == axis_size * true grad; the division is a
-            # power of two, so this is bit-exact vs single-device — pinned
-            # by tests/test_shardmap_trainer.py at two mesh sizes).
-            grads = jax.lax.pmean(grads, "data")
-            return loss, metrics, new_stats, grads
+            return self._shard_step_math(state, rng, batch, has_bn)
 
         def step_fn(state: TrainState, rng, *batch):
             fn = _shard_map(
@@ -224,34 +202,66 @@ class Trainer:
                 in_specs=(P(), P()) + tuple(P("data") for _ in batch),
                 out_specs=P())
             loss, metrics, new_stats, grads = fn(state, rng, *batch)
-            updates, opt_state = self.tx.update(grads, state.opt_state,
-                                                state.params)
-            params = optax.apply_updates(state.params, updates)
-            new_state = TrainState(step=state.step + 1, params=params,
-                                   batch_stats=new_stats,
-                                   opt_state=opt_state)
-            metrics = dict(metrics)
-            metrics["loss"] = loss
-            return new_state, metrics
+            return self._apply_update(state, grads, new_stats, metrics,
+                                      loss)
 
         return jax.jit(step_fn, donate_argnums=(0,))
 
-    def _build_eval_step_shardmap(self, has_bn: bool):
+    def _shard_step_math(self, state: TrainState, rng, batch, has_bn: bool):
+        """Shard-local fwd+bwd (inside shard_map Manual axes): per-shard
+        losses/metrics/BN moments psum to exact global values; returns the
+        pmean'd global gradient. Shared by the per-batch shardmap step and
+        the sharded epoch scan."""
         model = self.model
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        images = normalize_images(batch[0], self.transform_type)
+        inputs = self.forward_inputs(images, batch)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if has_bn:
+                variables["batch_stats"] = state.batch_stats
+                outputs, mut = model.apply(
+                    variables, *inputs, train=True,
+                    rngs={"dropout": rng}, mutable=["batch_stats"])
+                new_stats = mut["batch_stats"]
+            else:
+                outputs = model.apply(variables, *inputs, train=True,
+                                      rngs={"dropout": rng})
+                new_stats = state.batch_stats
+            loss, metrics = self.compute_loss(outputs, batch)
+            return loss, (metrics, new_stats)
+
+        bn_ctx = bn_psum_axis("data") if has_bn else _NULL_CTX
+        with loss_psum_axis("data"), bn_ctx:
+            (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+        # The loss is GLOBAL (psum'd numerator/denominator). Under
+        # shard_map's check_vma=False AD convention the transpose of
+        # psum is psum, so each device's grad is an axis_size-scaled
+        # local partial: pmean reconstructs the exact global gradient
+        # (psum of partials == axis_size * true grad; the division is a
+        # power of two, so this is bit-exact vs single-device — pinned
+        # by tests/test_shardmap_trainer.py at two mesh sizes).
+        grads = jax.lax.pmean(grads, "data")
+        return loss, metrics, new_stats, grads
+
+    def _apply_update(self, state: TrainState, grads, new_stats, metrics,
+                      loss):
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               batch_stats=new_stats, opt_state=opt_state)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        return new_state, metrics
+
+    def _build_eval_step_shardmap(self, has_bn: bool):
         mesh = self.mesh
 
         def sharded_body(state: TrainState, *batch):
-            images = normalize_images(batch[0], self.transform_type)
-            inputs = self.eval_forward_inputs(images, batch)
-            variables = {"params": state.params}
-            if has_bn:
-                variables["batch_stats"] = state.batch_stats
-            outputs = model.apply(variables, *inputs, train=False)
-            with loss_psum_axis("data"):
-                loss, metrics = self.eval_compute_loss(outputs, batch)
-            metrics = dict(metrics)
-            metrics["loss"] = loss
-            return outputs, metrics
+            return self._shard_eval_math(state, batch, has_bn)
 
         def step_fn(state: TrainState, *batch):
             fn = _shard_map(
@@ -262,25 +272,209 @@ class Trainer:
 
         return jax.jit(step_fn)
 
+    def _shard_eval_math(self, state: TrainState, batch, has_bn: bool):
+        images = normalize_images(batch[0], self.transform_type)
+        inputs = self.eval_forward_inputs(images, batch)
+        variables = {"params": state.params}
+        if has_bn:
+            variables["batch_stats"] = state.batch_stats
+        outputs = self.model.apply(variables, *inputs, train=False)
+        with loss_psum_axis("data"):
+            loss, metrics = self.eval_compute_loss(outputs, batch)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        return outputs, metrics
+
     def _build_eval_step(self, has_bn: bool):
         if self.mesh is not None:
             return self._build_eval_step_shardmap(has_bn)
-        model = self.model
 
         def step_fn(state: TrainState, *batch):
-            images = normalize_images(batch[0], self.transform_type)
-            inputs = self.eval_forward_inputs(images, batch)
-            variables = {"params": state.params}
-            if has_bn:
-                variables["batch_stats"] = state.batch_stats
-            with self._attention_ctx():
-                outputs = model.apply(variables, *inputs, train=False)
-            loss, metrics = self.eval_compute_loss(outputs, batch)
-            metrics = dict(metrics)
-            metrics["loss"] = loss
-            return outputs, metrics
+            return self._eval_step_math(state, batch, has_bn)
 
         return jax.jit(step_fn)
+
+    def _eval_step_math(self, state: TrainState, batch, has_bn: bool):
+        images = normalize_images(batch[0], self.transform_type)
+        inputs = self.eval_forward_inputs(images, batch)
+        variables = {"params": state.params}
+        if has_bn:
+            variables["batch_stats"] = state.batch_stats
+        with self._attention_ctx():
+            outputs = self.model.apply(variables, *inputs, train=False)
+        loss, metrics = self.eval_compute_loss(outputs, batch)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        return outputs, metrics
+
+    # ------------------------------------------------------------------
+    # Resident epoch-as-one-XLA-program
+    #
+    # With the dataset HBM-resident, an epoch needs no host at all: the
+    # index/mask schedule uploads once and a lax.scan gathers each batch
+    # from the resident store and runs the full train step inside ONE
+    # jitted, donated program. Per-batch dispatch (gather + rng fold +
+    # step — ~12 ms/batch of pure host/tunnel overhead on this container)
+    # disappears; the epoch runs at pure-step throughput. Numerics are the
+    # per-batch path's exactly: same rng stream (fold_in of the same host
+    # step counter, traced), same unmasked step on full batches, and the
+    # ragged tail (BN models only) keeps its masked single-step dispatch.
+    # Over a mesh the scan body is the shard_map DP step with the gather
+    # INSIDE it (each device reads only its resident rows), so the whole
+    # epoch is one SPMD program.
+    def _build_train_epoch_scan(self, has_bn: bool):
+        if self.mesh is not None:
+            return self._build_train_epoch_scan_shardmap(has_bn)
+
+        def epoch_fn(state: TrainState, data, idx_all, mask_all, steps):
+            def body(state, xs):
+                idx, mask, i = xs
+                rng = jax.random.fold_in(self.base_rng, i)
+                batch = tuple(a[idx] for a in data) + (mask,)
+                return self._train_step_math(state, rng, batch, has_bn,
+                                             masked=False)
+
+            state, ms = jax.lax.scan(body, state, (idx_all, mask_all, steps))
+            return state, _epoch_totals(ms, mask_all)
+
+        return jax.jit(epoch_fn, donate_argnums=(0,))
+
+    def _build_train_epoch_scan_shardmap(self, has_bn: bool):
+        mesh = self.mesh
+
+        def gather_body(state: TrainState, rng, data, idx, mask):
+            # local leaves [1, n_pad, ...]; idx/mask [1, pb]
+            batch = tuple(a[0][idx[0]] for a in data) + (mask[0],)
+            return self._shard_step_math(state, rng, batch, has_bn)
+
+        def epoch_fn(state: TrainState, data, idx_all, mask_all, steps):
+            fn = _shard_map(
+                gather_body, mesh=mesh,
+                in_specs=(P(), P(), tuple(P("data") for _ in data),
+                          P("data"), P("data")),
+                out_specs=P())
+
+            def body(state, xs):
+                idx, mask, i = xs
+                rng = jax.random.fold_in(self.base_rng, i)
+                loss, metrics, new_stats, grads = fn(state, rng, data,
+                                                     idx, mask)
+                return self._apply_update(state, grads, new_stats,
+                                          metrics, loss)
+
+            state, ms = jax.lax.scan(body, state, (idx_all, mask_all, steps))
+            return state, _epoch_totals(ms, mask_all)
+
+        return jax.jit(epoch_fn, donate_argnums=(0,))
+
+    def _build_eval_epoch_scan(self, has_bn: bool):
+        if self.mesh is not None:
+            return self._build_eval_epoch_scan_shardmap(has_bn)
+
+        def epoch_fn(state: TrainState, data, idx_all, mask_all):
+            def body(carry, xs):
+                idx, mask = xs
+                batch = tuple(a[idx] for a in data) + (mask,)
+                _, metrics = self._eval_step_math(state, batch, has_bn)
+                return carry, metrics
+
+            _, ms = jax.lax.scan(body, 0, (idx_all, mask_all))
+            return _epoch_totals(ms, mask_all)
+
+        return jax.jit(epoch_fn)
+
+    def _build_eval_epoch_scan_shardmap(self, has_bn: bool):
+        mesh = self.mesh
+
+        def gather_body(state: TrainState, data, idx, mask):
+            batch = tuple(a[0][idx[0]] for a in data) + (mask[0],)
+            _, metrics = self._shard_eval_math(state, batch, has_bn)
+            return metrics
+
+        def epoch_fn(state: TrainState, data, idx_all, mask_all):
+            fn = _shard_map(
+                gather_body, mesh=mesh,
+                in_specs=(P(), tuple(P("data") for _ in data),
+                          P("data"), P("data")),
+                out_specs=P())
+
+            def body(carry, xs):
+                idx, mask = xs
+                return carry, fn(state, data, idx, mask)
+
+            _, ms = jax.lax.scan(body, 0, (idx_all, mask_all))
+            return _epoch_totals(ms, mask_all)
+
+        return jax.jit(epoch_fn)
+
+    def _use_epoch_scan(self, loader) -> bool:
+        if not (hasattr(loader, "epoch_arrays")
+                and getattr(loader, "pad_last", False)
+                and getattr(loader, "epoch_scan", True)):
+            return False
+        if getattr(loader, "mesh", "missing") is not self.mesh:
+            return False  # loader/trainer placement must agree
+        return self.mesh is None or getattr(loader, "axis", None) == "data"
+
+    def _train_epoch_resident(self, state: TrainState, loader):
+        has_bn = bool(state.batch_stats)
+        idx_all, mask_all, valid = loader.epoch_arrays()
+        B = loader.batch_size
+        nb = len(valid)
+        # Without BN the unmasked step handles the ragged tail too (losses
+        # and metrics are mask-weighted); BN models need the masked-stats
+        # variant, outside the scan.
+        ragged_tail = has_bn and nb > 0 and valid[-1] < B
+        nb_full = nb - 1 if ragged_tail else nb
+        totals: Dict[str, jnp.ndarray] = {}
+        total_examples = float(sum(valid))
+        if nb_full:
+            if self._train_epoch_scan is None:
+                self._train_epoch_scan = self._build_train_epoch_scan(has_bn)
+            steps = jnp.asarray(self._host_step + np.arange(nb_full),
+                                dtype=jnp.int32)
+            state, totals = self._train_epoch_scan(
+                state, loader.data, idx_all[:nb_full], mask_all[:nb_full],
+                steps)
+            self._host_step += nb_full
+            totals = dict(totals)
+        if ragged_tail:
+            rng = jax.random.fold_in(self.base_rng, self._host_step)
+            self._host_step += 1
+            if self._train_step_masked is None:
+                self._train_step_masked = self._build_train_step(
+                    has_bn, masked=True)
+            # sharded: _gather returns global [B]-leading arrays and the
+            # [D, pb] mask flattens to the global [B] mask (the masked
+            # variant is the auto-sharded-jit step either way)
+            batch = (*loader._gather(loader.data, idx_all[nb_full]),
+                     mask_all[nb_full].reshape(-1))
+            state, metrics = self._train_step_masked(state, rng, *batch)
+            n = float(valid[-1])
+            totals["loss"] = totals.get("loss", 0.0) + metrics["loss"] * n
+            for k, v in metrics.items():
+                if k != "loss":
+                    totals[k] = totals.get(k, 0.0) + v
+        totals = jax.device_get(totals)
+        out = {k: float(v) / total_examples for k, v in totals.items()}
+        out["examples"] = total_examples
+        if not np.isfinite(out["loss"]):
+            raise FloatingPointError(
+                f"non-finite training loss {out['loss']} at step "
+                f"{self._host_step}; check lr/dtype policy")
+        return state, out
+
+    def _eval_epoch_resident(self, state: TrainState, loader):
+        has_bn = bool(state.batch_stats)
+        idx_all, mask_all, valid = loader.epoch_arrays()
+        if self._eval_epoch_scan is None:
+            self._eval_epoch_scan = self._build_eval_epoch_scan(has_bn)
+        totals = jax.device_get(
+            self._eval_epoch_scan(state, loader.data, idx_all, mask_all))
+        total_examples = float(sum(valid))
+        out = {k: float(v) / total_examples for k, v in totals.items()}
+        out["examples"] = total_examples
+        return out
 
     # ------------------------------------------------------------------
     def _put(self, batch):
@@ -315,6 +509,8 @@ class Trainer:
 
     def train_epoch(self, state: TrainState, loader,
                     epoch: int = 0) -> Tuple[TrainState, Dict[str, float]]:
+        if self._use_epoch_scan(loader):
+            return self._train_epoch_resident(state, loader)
         has_bn = bool(state.batch_stats)
         if self._train_step is None:
             self._train_step = self._build_train_step(has_bn)
@@ -358,6 +554,8 @@ class Trainer:
 
     def eval_epoch(self, state: TrainState, loader,
                    collect_outputs: bool = False):
+        if not collect_outputs and self._use_epoch_scan(loader):
+            return self._eval_epoch_resident(state, loader)
         has_bn = bool(state.batch_stats)
         if self._eval_step is None:
             self._eval_step = self._build_eval_step(has_bn)

@@ -511,6 +511,19 @@ def measure_torch_cpu(batch: int = 8, steps: int = 5) -> float:
 
 
 def main():
+    # Persistent XLA compilation cache (same location as the CLIs): the
+    # epoch-scan program's long first compile is paid once per machine,
+    # not per bench run.
+    import os
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.expanduser("~/.cache/artgraph_tpu_xla"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without these flags
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=128)
     parser.add_argument("--steps", type=int, default=30)
