@@ -8,10 +8,13 @@ hidden 128, aggr sum, bn, dropout 0.4) with NLL on artwork nodes, prints
 metrics every 5 epochs, then saves the 128-dim artwork hidden states to the
 two reference file names (:91-92).
 
-The entire epoch (full-graph fwd+bwd+Adam) is ONE jitted XLA program; the
-reference's per-epoch PyG scatter/gather hot loop (SURVEY.md §3.2) becomes
-segment-op matmuls on the MXU. Quirk fixed+documented: the reference declares
---lr with type=int (ref :16); ours is float with the same 0.01 default.
+The entire epoch (full-graph fwd+bwd+Adam) is ONE jitted XLA program, and by
+default 5-epoch chunks compile into ONE lax.scan program each (the graph is
+device-resident, so the host has nothing to do between epochs — 50 epochs run
+as ~11 dispatches; `--no_epoch_scan` opts out); the reference's per-epoch PyG
+scatter/gather hot loop (SURVEY.md §3.2) becomes segment-op matmuls on the
+MXU. Quirk fixed+documented: the reference declares --lr with type=int
+(ref :16); ours is float with the same 0.01 default.
 """
 from __future__ import annotations
 
@@ -36,12 +39,10 @@ def get_accuracy(log_probs: np.ndarray, labels: np.ndarray) -> float:
     return float((np.argmax(log_probs, axis=1) == labels).mean())
 
 
-def make_steps(model, tx, mesh=None):
-    """Jitted full-graph train/eval steps.
-
-    With a mesh, edge arrays are sharded over the 'data' axis and segment
-    reductions psum over ICI (parallel.gnn_parallel); single-device otherwise.
-    """
+def _make_applies(model, mesh=None):
+    """train/eval apply closures; with a mesh, edge arrays are sharded over
+    the 'data' axis and segment reductions psum over ICI
+    (parallel.gnn_parallel); single-device otherwise."""
     if mesh is not None:
         from artgraph_tpu.parallel.gnn_parallel import make_sharded_forward
 
@@ -60,6 +61,13 @@ def make_steps(model, tx, mesh=None):
 
         def apply_eval(variables, x, edges, csr):
             return model.apply(variables, x, edges, train=False, csr=csr)
+
+    return apply_train, apply_eval
+
+
+def make_steps(model, tx, mesh=None):
+    """Jitted full-graph train/eval steps."""
+    apply_train, apply_eval = _make_applies(model, mesh)
 
     @partial(jax.jit, donate_argnums=(0, 2))
     def train_step(params, batch_stats, opt_state, rng, x, edges, csr, y):
@@ -85,6 +93,62 @@ def make_steps(model, tx, mesh=None):
     return train_step, eval_step
 
 
+def make_train_chunk(model, tx, mesh=None):
+    """Compile a CHUNK of full-batch training epochs as one lax.scan program.
+
+    The reference's training loop (ref src/train_gnn_embeddings.py:61-80) is
+    one host-dispatched step per epoch; with the whole graph device-resident
+    there is nothing for the host to do between epochs, so a chunk of epochs
+    compiles into a single XLA program (train math identical to
+    `make_steps`'s train_step; same fold_in(rng, epoch) stream via the traced
+    epoch0 offset). Validation metrics are only consumed every 5 epochs, so
+    the per-epoch val forward moves OUT of the loop entirely — the chunked
+    path evaluates once per chunk boundary instead of once per epoch.
+    Returns (params, batch_stats, opt_state, per-epoch losses, last logp).
+    """
+    apply_train, _ = _make_applies(model, mesh)
+
+    @partial(jax.jit, static_argnums=(9,), donate_argnums=(0, 2))
+    def train_chunk(params, batch_stats, opt_state, rng, x, edges, csr, y,
+                    epoch0, n_epochs):
+        def body(carry, i):
+            params, batch_stats, opt_state, _ = carry
+            step_rng = jax.random.fold_in(rng, epoch0 + i)
+
+            def loss_fn(p):
+                (emb, outs), mut = apply_train(
+                    {"params": p, "batch_stats": batch_stats}, x, edges, csr,
+                    step_rng)
+                loss = nll_loss(outs[0]["artwork"], y)
+                return loss, (outs[0]["artwork"], mut["batch_stats"])
+
+            (loss, (logp, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_stats, opt_state, logp), loss
+
+        logp0 = jnp.zeros((y.shape[0], model.out_channels), jnp.float32)
+        (params, batch_stats, opt_state, logp), losses = jax.lax.scan(
+            body, (params, batch_stats, opt_state, logp0),
+            jnp.arange(n_epochs, dtype=jnp.int32))
+        return params, batch_stats, opt_state, losses, logp
+
+    return train_chunk
+
+
+def epoch_chunks(start: int, total: int, interval: int = 5):
+    """Chunk [start, total) so every boundary lands right after a
+    print/checkpoint epoch (epoch % interval == 0), preserving the
+    reference loop's observable cadence exactly."""
+    epoch = start
+    while epoch < total:
+        nxt = epoch + (-epoch) % interval  # first print epoch >= epoch
+        end = nxt + 1 if nxt < total else total
+        yield epoch, end
+        epoch = end
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument('--label', type=str, default='style',
@@ -106,6 +170,10 @@ def main(argv=None):
                         help='Checkpoint directory for crash recovery: full '
                              'train state saved via Orbax every 5 epochs; '
                              'training continues from it when present.')
+    parser.add_argument('--no_epoch_scan', action='store_true',
+                        help='Dispatch one XLA program per epoch instead of '
+                             'compiling 5-epoch chunks as one lax.scan '
+                             'program (the default; numerics identical).')
     args = parser.parse_args(argv)
 
     graphs = {
@@ -199,28 +267,55 @@ def main(argv=None):
             start_epoch = int(json.load(f)["epoch"])
         print(f"resumed from {args.resume}: epoch {start_epoch}")
 
+    def print_metrics(train_loss, train_acc, val_loss, val_logp):
+        print(f'{label}_train_loss', round(train_loss, 4))
+        print(f'{label}_train_accuracy', round(train_acc, 2) * 100)
+        print(f'{label}_val_loss', round(float(val_loss), 4))
+        print(f'{label}_val_accuracy',
+              round(get_accuracy(np.asarray(val_logp),
+                                 np.asarray(y["train_validation"])), 2) * 100)
+
     train_loss = train_acc = 0.0
-    for epoch in range(start_epoch, args.epochs):
-        step_rng = jax.random.fold_in(rng, epoch)
-        params, batch_stats, opt_state, loss, logp = train_step(
-            params, batch_stats, opt_state, step_rng,
-            feats["train_train"], edges["train_train"], csrs["train_train"],
-            y["train_train"])
-        train_loss = float(loss)
-        train_acc = get_accuracy(np.asarray(logp), np.asarray(y["train_train"]))
-        val_loss, val_logp, _ = eval_step(
-            params, batch_stats, feats["train_validation"],
-            edges["train_validation"], csrs["train_validation"],
-            y["train_validation"])
-        if epoch % 5 == 0:
-            print(f'{label}_train_loss', round(train_loss, 4))
-            print(f'{label}_train_accuracy', round(train_acc, 2) * 100)
-            print(f'{label}_val_loss', round(float(val_loss), 4))
-            print(f'{label}_val_accuracy',
-                  round(get_accuracy(np.asarray(val_logp),
-                                     np.asarray(y["train_validation"])), 2) * 100)
-            if args.resume:
-                save_resume(epoch + 1)
+    if args.no_epoch_scan:
+        for epoch in range(start_epoch, args.epochs):
+            step_rng = jax.random.fold_in(rng, epoch)
+            params, batch_stats, opt_state, loss, logp = train_step(
+                params, batch_stats, opt_state, step_rng,
+                feats["train_train"], edges["train_train"],
+                csrs["train_train"], y["train_train"])
+            train_loss = float(loss)
+            train_acc = get_accuracy(np.asarray(logp),
+                                     np.asarray(y["train_train"]))
+            val_loss, val_logp, _ = eval_step(
+                params, batch_stats, feats["train_validation"],
+                edges["train_validation"], csrs["train_validation"],
+                y["train_validation"])
+            if epoch % 5 == 0:
+                print_metrics(train_loss, train_acc, val_loss, val_logp)
+                if args.resume:
+                    save_resume(epoch + 1)
+    else:
+        # 5-epoch chunks compile to ONE lax.scan program each; boundaries
+        # land exactly on the print/checkpoint epochs so the output, resume
+        # cadence and fold_in(rng, epoch) stream match the per-epoch loop.
+        train_chunk = make_train_chunk(model, tx, mesh)
+        for chunk_start, chunk_end in epoch_chunks(start_epoch, args.epochs):
+            params, batch_stats, opt_state, losses, logp = train_chunk(
+                params, batch_stats, opt_state, rng,
+                feats["train_train"], edges["train_train"],
+                csrs["train_train"], y["train_train"],
+                jnp.int32(chunk_start), chunk_end - chunk_start)
+            train_loss = float(losses[-1])
+            train_acc = get_accuracy(np.asarray(logp),
+                                     np.asarray(y["train_train"]))
+            if (chunk_end - 1) % 5 == 0:
+                val_loss, val_logp, _ = eval_step(
+                    params, batch_stats, feats["train_validation"],
+                    edges["train_validation"], csrs["train_validation"],
+                    y["train_validation"])
+                print_metrics(train_loss, train_acc, val_loss, val_logp)
+                if args.resume:
+                    save_resume(chunk_end)
 
     if args.resume:
         save_resume(args.epochs)

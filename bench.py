@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 import jax
@@ -587,9 +588,18 @@ def main():
         }))
         return
 
-    resnet_ips, resnet_trials, resnet_flops = bench_model(
-        "resnet50", args.batch, args.steps)
-    vit_ips, vit_trials, vit_flops = bench_model("vit", args.batch, args.steps)
+    def bench_model_retry(name):
+        # the axon tunnel occasionally throws a transient FAILED_PRECONDITION
+        # on device_get (CLAUDE.md); one retry keeps the headline alive
+        try:
+            return bench_model(name, args.batch, args.steps)
+        except Exception as e:  # pragma: no cover - transient tunnel faults
+            print(f"# {name} bench failed ({e!r}); retrying once",
+                  file=sys.stderr)
+            return bench_model(name, args.batch, args.steps)
+
+    resnet_ips, resnet_trials, resnet_flops = bench_model_retry("resnet50")
+    vit_ips, vit_trials, vit_flops = bench_model_retry("vit")
 
     # v5e bf16 peak: 197 TFLOP/s/chip (public spec); MFU = achieved/peak.
     peak = 197e12
