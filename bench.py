@@ -126,6 +126,62 @@ def bench_model(model_name: str, batch: int, steps: int, image_size: int = 224):
     return ips, [round(t, 1) for t in trials], flops_per_step
 
 
+def bench_infer(model_name: str, batch: int, steps: int = 30,
+                image_size: int = 224):
+    """Serving throughput: eval-mode forward (train=False, running BN stats,
+    dropout off) on the uint8 input pipeline, bf16 compute — the deployment
+    configuration of the reference's predict path (ref: src/predict.py).
+    Steps are chained through a scalar carry so the whole trial is one
+    serialized device-side program chain; two-point timing cancels the
+    fixed dispatch/transfer overhead (same method as bench_model)."""
+    from artgraph_tpu.models import ResnetSingleTask, ViTSingleTask
+    from artgraph_tpu.ops.preprocess import normalize_images
+
+    if model_name == "resnet50":
+        model = ResnetSingleTask(num_class=32, dropout=0.4)
+        transform = "resnet"
+    else:
+        model = ViTSingleTask(num_class=32, dropout=0.4)
+        transform = "vit"
+
+    rng = jax.random.PRNGKey(0)
+    images_u8 = jnp.asarray(
+        np.random.default_rng(0).integers(
+            0, 256, (batch, image_size, image_size, 3), dtype=np.uint8))
+    images_f32 = normalize_images(images_u8, transform)
+    variables = model.init(rng, images_f32, train=False)
+
+    @jax.jit
+    def infer(carry, images_u8):
+        images = normalize_images(images_u8, transform)
+        logits = model.apply(variables, images, train=False)
+        return carry + jnp.mean(logits)
+
+    try:
+        ca = infer.lower(jnp.float32(0.0), images_u8).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+    except Exception:
+        flops = 0.0
+
+    def run(n):
+        t0 = time.perf_counter()
+        carry = jnp.float32(0.0)
+        for _ in range(n):
+            carry = infer(carry, images_u8)
+        np.asarray(carry)  # device->host read = the only true sync on axon
+        return time.perf_counter() - t0
+
+    run(2)  # compile + warm
+    n1 = max(steps // 5, 2)
+    trials = []
+    for _ in range(3):
+        t1, t2 = run(n1), run(steps)
+        trials.append(batch * (steps - n1) / (t2 - t1))
+    return float(np.median(trials)), [round(t, 1) for t in trials], flops
+
+
 def bench_gnn(num_artworks: int = 100_000, edges_per_rel: int = 1_000_000,
               steps: int = 10) -> float:
     """Full-batch hetero-GNN train-step throughput (edges/sec) on a synthetic
@@ -535,6 +591,9 @@ def main():
     parser.add_argument("--epoch", action="store_true",
                         help="benchmark the END-TO-END cached ResNet epoch "
                              "(loader + prefetch + step) instead")
+    parser.add_argument("--infer", action="store_true",
+                        help="benchmark eval-mode forward (serving) "
+                             "throughput instead")
     parser.add_argument("--profile", action="store_true",
                         help="per-module train-step dissection + "
                              "jax.profiler trace instead")
@@ -572,6 +631,22 @@ def main():
                           "vs_baseline": 1.0,
                           "extras": {"operator": "GATConv", "hidden": 128,
                                      "layers": 2, "graph": "synthetic 8M edges"}}))
+        return
+
+    if args.infer:
+        peak = 197e12
+        out = {}
+        for name in ("resnet50", "vit"):
+            ips, trials, flops = bench_infer(name, args.batch, args.steps)
+            out[name] = {"images_per_sec": round(ips, 1), "trials": trials,
+                         "mfu": (round(ips / args.batch * flops / peak, 3)
+                                 if flops else None)}
+        print(json.dumps({
+            "metric": "infer_resnet50_images_per_sec_per_chip",
+            "value": out["resnet50"]["images_per_sec"],
+            "unit": "images/sec/chip", "vs_baseline": 1.0,
+            "extras": {"batch": args.batch, "dtype": "bfloat16",
+                       "mode": "eval fwd (serving)", **out}}))
         return
 
     if args.epoch:
@@ -637,6 +712,13 @@ def main():
                 "512-image resident epoch (Trainer.train_epoch end to end)")
         except Exception as e:  # pragma: no cover
             extras["cached_epoch_images_per_sec"] = f"error: {e!r}"
+        try:
+            ips, _, _ = bench_infer("resnet50", args.batch, steps=20)
+            extras["infer_resnet50_images_per_sec"] = round(ips, 1)
+            ips, _, _ = bench_infer("vit", args.batch, steps=20)
+            extras["infer_vit_images_per_sec"] = round(ips, 1)
+        except Exception as e:  # pragma: no cover
+            extras["infer_images_per_sec"] = f"error: {e!r}"
 
     print(json.dumps({
         "metric": "resnet50_fwd_bwd_images_per_sec_per_chip",
