@@ -88,6 +88,7 @@ class Trainer:
         self._eval_step = None
         self._train_epoch_scan = None   # resident epoch-as-one-program
         self._eval_epoch_scan = None
+        self._eval_epoch_scan_collect = None
         self._host_step = 0  # host-side twin of state.step: keeps rng
                              # derivation off the device (no sync per step)
 
@@ -407,6 +408,47 @@ class Trainer:
 
         return jax.jit(epoch_fn)
 
+    def _build_eval_epoch_scan_collect(self, has_bn: bool):
+        """Output-collecting eval epoch as ONE program (single device): the
+        scan additionally stacks the model outputs and the non-image batch
+        components ([nb, B, ...]) so the test-split evaluation / predict
+        pass needs no per-batch dispatch either. Images are NOT stacked —
+        only outputs and the small label/embedding components ride out."""
+
+        def epoch_fn(state: TrainState, data, idx_all, mask_all):
+            def body(carry, xs):
+                idx, mask = xs
+                batch = tuple(a[idx] for a in data) + (mask,)
+                outputs, metrics = self._eval_step_math(state, batch, has_bn)
+                return carry, (metrics, outputs, batch[1:-1])
+
+            _, (ms, outputs, rest) = jax.lax.scan(
+                body, 0, (idx_all, mask_all))
+            return _epoch_totals(ms, mask_all), outputs, rest
+
+        return jax.jit(epoch_fn)
+
+    def _eval_epoch_resident_collect(self, state: TrainState, loader):
+        has_bn = bool(state.batch_stats)
+        idx_all, mask_all, valid = loader.epoch_arrays()
+        if self._eval_epoch_scan_collect is None:
+            self._eval_epoch_scan_collect = (
+                self._build_eval_epoch_scan_collect(has_bn))
+        totals, outputs, rest = jax.device_get(
+            self._eval_epoch_scan_collect(state, loader.data, idx_all,
+                                          mask_all))
+        collected = []
+        for b, n in enumerate(valid):
+            n = int(n)
+            collected.append((
+                jax.tree_util.tree_map(lambda a: np.asarray(a[b])[:n],
+                                       outputs),
+                tuple(np.asarray(a[b])[:n] for a in rest)))
+        total_examples = float(sum(valid))
+        out = {k: float(v) / total_examples for k, v in totals.items()}
+        out["examples"] = total_examples
+        return out, collected
+
     def _use_epoch_scan(self, loader) -> bool:
         if not (hasattr(loader, "epoch_arrays")
                 and getattr(loader, "pad_last", False)
@@ -554,8 +596,11 @@ class Trainer:
 
     def eval_epoch(self, state: TrainState, loader,
                    collect_outputs: bool = False):
-        if not collect_outputs and self._use_epoch_scan(loader):
-            return self._eval_epoch_resident(state, loader)
+        if self._use_epoch_scan(loader):
+            if not collect_outputs:
+                return self._eval_epoch_resident(state, loader)
+            if self.mesh is None:  # sharded collect keeps the batch stream
+                return self._eval_epoch_resident_collect(state, loader)
         has_bn = bool(state.batch_stats)
         if self._eval_step is None:
             self._eval_step = self._build_eval_step(has_bn)

@@ -112,9 +112,19 @@ def test_epoch_scan_matches_per_batch_path(model_cls, n):
     np.testing.assert_allclose(e_res["correct"], e_host["correct"])
     assert e_res["examples"] == n
 
-    # collect_outputs falls back to the per-batch stream and still works
-    out, collected = t_res.eval_epoch(s_res, res, collect_outputs=True)
-    assert len(collected) == len(res)
+    # collect_outputs also runs as one scanned program: outputs, labels and
+    # totals must match the host loader's per-batch collection exactly
+    out_h, col_h = t_host.eval_epoch(s_host, host, collect_outputs=True)
+    out_r, col_r = t_res.eval_epoch(s_res, res, collect_outputs=True)
+    assert t_res._eval_epoch_scan_collect is not None
+    np.testing.assert_allclose(out_r["loss"], out_h["loss"], rtol=1e-5)
+    assert len(col_r) == len(col_h) == len(res)
+    for (o_r, rest_r), (o_h, rest_h) in zip(col_r, col_h):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5,
+                                                    atol=1e-6), o_r, o_h)
+        for a, b in zip(rest_r, rest_h):
+            np.testing.assert_array_equal(a, b)
 
 
 @pytest.mark.parametrize("n", [40, 37])
