@@ -556,9 +556,10 @@ def csr_segment_sum(data, csr: CSR, axis_name: str = None):
 
 
 def _sum_fwd(data, csr):
-    # zero-size dtype witness: dtype objects are not valid residual leaves
+    # scalar dtype witness: dtype objects are not valid residual leaves,
+    # and zero-length residuals break shard_map's bwd sharding inference
     return _csr_segment_sum(data, csr), (csr, data.shape[0],
-                                         jnp.zeros((0,), data.dtype))
+                                         jnp.zeros((), data.dtype))
 
 
 def _edge_cotangent(g, csr, e):
@@ -617,7 +618,7 @@ def csr_scalar_segment_sum(w, csr: CSR):
 
 def _ssum_fwd(w, csr):
     return csr_scalar_segment_sum(w, csr), (csr, w.shape[0],
-                                            jnp.zeros((0,), w.dtype))
+                                            jnp.zeros((), w.dtype))
 
 
 def _ssum_bwd(res, g):
@@ -644,7 +645,7 @@ def csr_gather(x, ecsr: EdgeCSR, axis: str):
 
 def _gather_fwd(x, ecsr, axis):
     return csr_gather(x, ecsr, axis), (ecsr, x.shape[0],
-                                       jnp.zeros((0,), x.dtype))
+                                       jnp.zeros((), x.dtype))
 
 
 def _gather_bwd(axis, res, g):
