@@ -177,3 +177,97 @@ def test_sharded_train_step_reduces_loss(synthetic_graph, mesh):
         params, stats, opt_state, loss = step(params, stats, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+def test_chunked_epoch_scan_matches_loop_sharded(synthetic_graph, mesh):
+    """The GNN CLI's default path under --data_parallel: 5-epoch lax.scan
+    chunks over the edge-sharded kernel-backed forward must produce the
+    same trajectory as the per-epoch sharded loop (--no_epoch_scan)."""
+    from artgraph_tpu.cli.train_gnn_embeddings import (epoch_chunks,
+                                                       make_steps,
+                                                       make_train_chunk)
+
+    g = _graph(synthetic_graph)
+    y = jnp.asarray(g.labels["y_style"])
+    model = HeteroSGNN(metadata=g.metadata, operator="GATConv",
+                       hidden_channels=8,
+                       out_channels=synthetic_graph["counts"]["style"],
+                       n_layers=2, dropout=0.4, bn=True, axis_name="data")
+    rng = jax.random.PRNGKey(0)
+    variables = init_variables(model, rng, g.node_features, g.edges,
+                               train=False)
+    feats, edges, csrs = device_put_graph_csr(g, mesh)
+    tx = optax.adam(0.01)
+
+    def snap(tree):
+        # donated buffers: later calls invalidate earlier outputs, so
+        # snapshots must be copies
+        return jax.tree_util.tree_map(jnp.array, tree)
+
+    def run_loop(epochs):
+        train_step, _ = make_steps(model, tx, mesh)
+        params = snap(variables["params"])
+        stats = variables["batch_stats"]
+        opt = tx.init(params)
+        losses, snaps = [], {}
+        for epoch in range(epochs):
+            params, stats, opt, loss, _ = train_step(
+                params, stats, opt, jax.random.fold_in(rng, epoch),
+                feats, edges, csrs, y)
+            losses.append(float(loss))
+            if epoch == 0:
+                snaps[1] = (snap(params), snap(stats))
+        return params, stats, losses, snaps
+
+    def run_chunked(epochs):
+        train_chunk = make_train_chunk(model, tx, mesh)
+        params = snap(variables["params"])
+        stats = variables["batch_stats"]
+        opt = tx.init(params)
+        losses, snaps = [], {}
+        for c0, c1 in epoch_chunks(0, epochs):
+            params, stats, opt, ls, _ = train_chunk(
+                params, stats, opt, rng, feats, edges, csrs, y,
+                jnp.int32(c0), c1 - c0)
+            losses.extend(float(l) for l in ls)
+            if c1 == 1:
+                # epoch_chunks(0, n) always yields (0, 1) first: the
+                # epoch-1 state comes out of a length-1 lax.scan chunk
+                snaps[1] = (snap(params), snap(stats))
+        return params, stats, losses, snaps
+
+    p_a, s_a, l_a, snaps_a = run_loop(6)
+    p_b, s_b, l_b, snaps_b = run_chunked(6)
+    # the scanned body and the standalone step compile with different
+    # fusion/reassociation orders (same reason as the 2e-4 tolerance of the
+    # sharded-gradient test)
+    np.testing.assert_allclose(l_a, l_b, rtol=2e-4)
+
+    _, eval_step = make_steps(model, tx, mesh)
+
+    # PROGRAM equivalence: after ONE epoch (a length-1 scan chunk vs one
+    # standalone step) the trained model's observable outputs must agree to
+    # reassociation noise. Raw params are NOT compared: this graph has
+    # structurally dead parameters (e.g. the last layer's field/movement
+    # branches never reach the artwork loss) whose gradients are pure f32
+    # psum residue (~1e-8, measured); Adam normalizes that noise to
+    # lr-scale updates whose direction is compilation-order-dependent, so
+    # dead params differ at lr scale from the very first step while every
+    # observable quantity agrees.
+    (p_a1, s_a1), (p_b1, s_b1) = snaps_a[1], snaps_b[1]
+    loss_a1, logp_a1, emb_a1 = eval_step(p_a1, s_a1, feats, edges, csrs, y)
+    loss_b1, logp_b1, emb_b1 = eval_step(p_b1, s_b1, feats, edges, csrs, y)
+    np.testing.assert_allclose(float(loss_b1), float(loss_a1), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(logp_b1), np.asarray(logp_a1),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(emb_b1), np.asarray(emb_a1),
+                               rtol=1e-3, atol=1e-4)
+
+    # TRAJECTORY agreement after six epochs is asserted on the losses only
+    # (above, rtol 2e-4) plus the final eval loss: per-element outputs
+    # diverge chaotically (~10% rel, measured) as Adam at lr 0.01 amplifies
+    # the per-program reassociation noise along loss-flat directions —
+    # the same trajectories-not-functions caveat as the torch-parity tests.
+    loss_a6, _, _ = eval_step(p_a, s_a, feats, edges, csrs, y)
+    loss_b6, _, _ = eval_step(p_b, s_b, feats, edges, csrs, y)
+    np.testing.assert_allclose(float(loss_b6), float(loss_a6), rtol=2e-3)
