@@ -43,7 +43,23 @@ def _enable_compilation_cache() -> None:
         pass  # older jax without these flags
 
 
+def _pin_platform() -> None:
+    """Honor ARTGRAPH_PLATFORM=cpu|tpu|... for every CLI.
+
+    Some environments force-register a TPU plugin at interpreter start and
+    override JAX_PLATFORMS, so the env var alone cannot select a backend;
+    the jax.config update below wins regardless. Pinning "cpu" gives users
+    a smoke-run path on hosts whose accelerator is absent or unreachable.
+    """
+    platform = os.environ.get("ARTGRAPH_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
 _enable_compilation_cache()
+_pin_platform()
 
 
 def get_base_arguments() -> argparse.ArgumentParser:
