@@ -151,14 +151,18 @@ def bench_infer(model_name: str, batch: int, steps: int = 30,
     images_f32 = normalize_images(images_u8, transform)
     variables = model.init(rng, images_f32, train=False)
 
+    # variables ride as an ARGUMENT, not a closure: closed-over arrays embed
+    # as constants in the XLA computation, and ViT-B's ~344 MB of f32 params
+    # overflow the axon tunnel's remote_compile HTTP body limit (HTTP 413).
     @jax.jit
-    def infer(carry, images_u8):
+    def infer(variables, carry, images_u8):
         images = normalize_images(images_u8, transform)
         logits = model.apply(variables, images, train=False)
         return carry + jnp.mean(logits)
 
     try:
-        ca = infer.lower(jnp.float32(0.0), images_u8).compile().cost_analysis()
+        ca = infer.lower(variables, jnp.float32(0.0),
+                         images_u8).compile().cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))
@@ -169,7 +173,7 @@ def bench_infer(model_name: str, batch: int, steps: int = 30,
         t0 = time.perf_counter()
         carry = jnp.float32(0.0)
         for _ in range(n):
-            carry = infer(carry, images_u8)
+            carry = infer(variables, carry, images_u8)
         np.asarray(carry)  # device->host read = the only true sync on axon
         return time.perf_counter() - t0
 
