@@ -138,6 +138,11 @@ class ContextNetlMultiTask(nn.Module):
         return [out_style, out_genre], graph_proj
 
 
+# corrected-name alias for the pip API; the reference spelling stays the
+# canonical class (checkpoint key maps and CLIs use it)
+ContextNetMultiTask = ContextNetlMultiTask
+
+
 # --- MultiModal "sansaro" (Castellano et al; ref: models_kg.py:63-137) -----
 
 class _TanhEncoder(nn.Module):

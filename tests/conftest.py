@@ -25,6 +25,31 @@ import pandas as pd
 import pytest
 from PIL import Image
 
+# ---------------------------------------------------------------------------
+# Suite tiers (1-core host; see CLAUDE.md "Workflow"):
+#   quick — sub-5-minute signal:  pytest -m quick
+#   fast  — default tier (unmarked): everything not quick/slow
+#   slow  — the long e2e/parallel suites: pytest -m slow
+# `pytest tests/ -q` still runs quick+fast+slow; deselect with -m.
+# ---------------------------------------------------------------------------
+_QUICK_MODULES = {
+    "test_early_stopping", "test_metrics", "test_losses", "test_data",
+    "test_graft_entry", "test_runtime_native", "test_artifacts",
+    "test_pretrained_manifest",
+}
+_SLOW_MODULES = {"test_pipeline_e2e", "test_gnn_parallel", "test_notebook"}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.fspath.purebasename
+        if mod in _QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
+        elif mod in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.fast)
+
 
 @pytest.fixture(scope="session")
 def synthetic_dataset(tmp_path_factory):
