@@ -50,6 +50,30 @@ def force_xla_attention():
         _FORCE_XLA_ATTENTION.reset(token)
 
 
+def _pallas_attention_on(use_pallas: bool) -> bool:
+    """Pallas attention kernels run on TPU traces unless a force_xla scope
+    (auto-sharded multi-device jit) is active."""
+    return (use_pallas and jax.devices()[0].platform != "cpu"
+            and not _FORCE_XLA_ATTENTION.get())
+
+
+class _LNParams(nn.Module):
+    """Declares nn.LayerNorm-shaped (scale, bias) WITHOUT the normalization.
+
+    Same param names/shapes/dtypes/initializers as nn.LayerNorm, so the
+    parameter tree and checkpoint key maps are identical whether the LN runs
+    as a flax module or inside the fused block kernel.
+    """
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param("scale", nn.initializers.ones, (features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,),
+                          jnp.float32)
+        return scale, bias
+
+
 class _DenseParams(nn.Module):
     """Declares an nn.Dense-shaped (kernel, bias) pair WITHOUT the matmul.
 
@@ -88,13 +112,38 @@ class Attention(nn.Module):
     fuse_qkv: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, ln_params=None):
+        """With ln_params=(scale, bias), computes the FULL pre-norm block
+        branch x + proj(attn(LN(x))) — the caller must not re-add the
+        residual; on TPU it runs as one fused Pallas kernel per direction.
+        Without ln_params, computes proj(attn(x)) as before."""
         B, N, C = x.shape
         head_dim = C // self.num_heads
         dense = partial(nn.Dense, dtype=self.dtype, param_dtype=jnp.float32)
-        use_kernel = (self.use_pallas
-                      and jax.devices()[0].platform != "cpu"
-                      and not _FORCE_XLA_ATTENTION.get())
+        use_kernel = _pallas_attention_on(self.use_pallas)
+
+        if use_kernel and self.fuse_qkv and ln_params is not None:
+            from artgraph_tpu.ops.attention import fused_block_attention
+
+            w, b = _DenseParams(3 * C, name="qkv")(C)
+            wp, bp = _DenseParams(C, name="proj")(C)
+            gamma, beta = ln_params
+            return fused_block_attention(x.astype(self.dtype), gamma, beta,
+                                         w, b, wp, bp, self.num_heads)
+
+        residual = None
+        if ln_params is not None:
+            # unfused fallback with identical semantics (and the same
+            # param tree): f32 LN here, residual re-added below
+            residual = x
+            gamma, beta = ln_params
+            acc = at_least_f32(self.dtype)
+            xf = x.astype(acc)
+            mean = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.maximum(
+                jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+            x = ((xf - mean) * jax.lax.rsqrt(var + 1e-6) * gamma
+                 + beta).astype(self.dtype)
 
         if use_kernel and self.fuse_qkv:
             from artgraph_tpu.ops.attention import fused_qkv_attention
@@ -131,7 +180,10 @@ class Attention(nn.Module):
                                  preferred_element_type=acc)
                 out = out.astype(self.dtype)
             out = out.reshape(B, N, C)
-        return dense(C, name="proj")(out)
+        out = dense(C, name="proj")(out)
+        if residual is not None:
+            return residual + out.astype(residual.dtype)
+        return out
 
 
 class Mlp(nn.Module):
@@ -167,10 +219,17 @@ class Block(nn.Module):
         ln = partial(nn.LayerNorm, epsilon=1e-6,
                      dtype=at_least_f32(self.dtype),
                      param_dtype=jnp.float32)
-        x = x + Attention(self.num_heads, dtype=self.dtype,
-                          use_pallas=self.use_pallas_attention,
-                          fuse_qkv=self.fuse_qkv, name="attn")(
-            ln(name="norm1")(x).astype(self.dtype)).astype(x.dtype)
+        attn = Attention(self.num_heads, dtype=self.dtype,
+                         use_pallas=self.use_pallas_attention,
+                         fuse_qkv=self.fuse_qkv, name="attn")
+        if _pallas_attention_on(self.use_pallas_attention) and self.fuse_qkv:
+            # fused block kernel: norm1 + attention + proj + residual add in
+            # one pallas_call (ops.attention.fused_block_attention); norm1's
+            # params are declared here under their usual name/shape
+            x = attn(x, ln_params=_LNParams(name="norm1")(C))
+        else:
+            x = x + attn(
+                ln(name="norm1")(x).astype(self.dtype)).astype(x.dtype)
         x = x + Mlp(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp")(
             ln(name="norm2")(x).astype(self.dtype)).astype(x.dtype)
         return x

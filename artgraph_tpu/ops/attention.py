@@ -312,3 +312,235 @@ def _fused_qkv_bwd(num_heads, scale, residuals, d_out):
 
 
 fused_qkv_attention.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fully fused transformer attention block:
+#
+#     out = x + proj(attention(LayerNorm(x)))
+#
+# One kernel per direction. The forward reads the residual-stream block x
+# ONCE, computes the f32 LayerNorm, the qkv projection, per-head flash
+# attention, the output projection and the residual add in VMEM, and writes
+# the new residual block once — the LN output, the [B,N,3C] qkv tensor, and
+# the attention output never exist in HBM (5 intermediate HBM round-trips in
+# the unfused path). The backward recomputes everything from the SAME saved
+# x (residuals are x + params only), emits dx in one pass, and accumulates
+# all six parameter gradients (d_wqkv, d_bqkv, d_wproj, d_bproj, d_gamma,
+# d_beta) in VMEM across the sequential grid — the [B,N,3C] d(qkv) tensor
+# also never reaches HBM, unlike fused_qkv_attention's backward.
+#
+# LayerNorm statistics and normalization run in f32 (the model's policy);
+# contractions take bf16 inputs with f32 accumulation as everywhere else.
+# ---------------------------------------------------------------------------
+
+
+def _ln_rows(x_f32, eps: float):
+    """flax-style LN row statistics: uncentered variance, clipped at 0."""
+    mean = jnp.mean(x_f32, axis=-1, keepdims=True)
+    mean2 = jnp.mean(x_f32 * x_f32, axis=-1, keepdims=True)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (x_f32 - mean) * rstd
+    return xhat, rstd
+
+
+def _head_attention(qkv, h: int, C: int, D: int, scale: float):
+    """One head's probabilities + f32 output from the fused qkv tensor."""
+    q = qkv[:, h * D:(h + 1) * D]
+    k = qkv[:, C + h * D:C + (h + 1) * D]
+    v = qkv[:, 2 * C + h * D:2 * C + (h + 1) * D]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    p = (e / l).astype(qkv.dtype)
+    o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return p, o, q, k, v
+
+
+def _block_fwd_kernel(scale: float, H: int, eps: float, x_ref, g_ref, bl_ref,
+                      wq_ref, bq_ref, wp_ref, bp_ref, o_ref):
+    _, N, C = x_ref.shape
+    D = C // H
+    x = x_ref[...].reshape(N, C)
+    xhat, _ = _ln_rows(x.astype(jnp.float32), eps)
+    y = (xhat * g_ref[...] + bl_ref[...]).astype(x.dtype)
+
+    qkv = jnp.dot(y, wq_ref[...], preferred_element_type=jnp.float32)
+    qkv = (qkv + bq_ref[...].astype(jnp.float32)).astype(x.dtype)
+    outs = []
+    for h in range(H):
+        _, o, _, _, _ = _head_attention(qkv, h, C, D, scale)
+        outs.append(o.astype(x.dtype))
+    attn = jnp.concatenate(outs, axis=-1)            # [N, C]
+    p = jnp.dot(attn, wp_ref[...], preferred_element_type=jnp.float32)
+    p = (p + bp_ref[...].astype(jnp.float32)).astype(x.dtype)
+    o_ref[...] = (x + p).reshape(o_ref.shape)
+
+
+def _block_bwd_kernel(scale: float, H: int, eps: float, x_ref, g_ref, bl_ref,
+                      wq_ref, bq_ref, wp_ref, do_ref, dx_ref, dwq_ref,
+                      dbq_ref, dwp_ref, dbp_ref, dg_ref, dbl_ref):
+    _, N, C = x_ref.shape
+    D = C // H
+    x = x_ref[...].reshape(N, C)
+    do_final = do_ref[...].reshape(N, C)
+
+    # recompute forward up to the attention outputs
+    xf = x.astype(jnp.float32)
+    xhat, rstd = _ln_rows(xf, eps)
+    gamma = g_ref[...]
+    y = (xhat * gamma + bl_ref[...]).astype(x.dtype)
+    qkv = jnp.dot(y, wq_ref[...], preferred_element_type=jnp.float32)
+    qkv = (qkv + bq_ref[...].astype(jnp.float32)).astype(x.dtype)
+
+    heads = [_head_attention(qkv, h, C, D, scale) for h in range(H)]
+    attn = jnp.concatenate([o.astype(x.dtype) for _, o, _, _, _ in heads],
+                           axis=-1)                  # [N, C]
+
+    # proj backward: p = attn @ wp + bp ; out = x + p  =>  dp == do_final
+    do_attn = jax.lax.dot_general(
+        do_final, wp_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+
+    # per-head attention backward -> d(qkv)
+    dqs, dks, dvs = [], [], []
+    for h, (p, o, q, k, v) in enumerate(heads):
+        do = do_attn[:, h * D:(h + 1) * D]
+        dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        d_row = jnp.sum(do.astype(jnp.float32) * o, axis=-1, keepdims=True)
+        ds = (p.astype(jnp.float32) * (dp - d_row) * scale).astype(x.dtype)
+        dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dqs.append(dq.astype(x.dtype))
+        dks.append(dk.astype(x.dtype))
+        dvs.append(dv.astype(x.dtype))
+    dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)  # [N, 3C]
+
+    # qkv-projection backward
+    dy = jax.lax.dot_general(dqkv, wq_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [N, C] f32
+
+    # LayerNorm backward (f32): y = xhat*gamma + beta
+    dyg = dy * gamma
+    mean_dyg = jnp.mean(dyg, axis=-1, keepdims=True)
+    mean_dyg_xhat = jnp.mean(dyg * xhat, axis=-1, keepdims=True)
+    dx_ln = rstd * (dyg - mean_dyg - xhat * mean_dyg_xhat)
+    dx_ref[...] = ((do_final.astype(jnp.float32) + dx_ln)
+                   .astype(dx_ref.dtype).reshape(dx_ref.shape))
+
+    # parameter-gradient accumulation across the sequential grid
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dwq_ref[...] = jnp.zeros_like(dwq_ref)
+        dbq_ref[...] = jnp.zeros_like(dbq_ref)
+        dwp_ref[...] = jnp.zeros_like(dwp_ref)
+        dbp_ref[...] = jnp.zeros_like(dbp_ref)
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        dbl_ref[...] = jnp.zeros_like(dbl_ref)
+
+    dwq_ref[...] += jax.lax.dot_general(
+        y, dqkv, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbq_ref[...] += jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True)
+    dwp_ref[...] += jax.lax.dot_general(
+        attn, do_final, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbp_ref[...] += jnp.sum(do_final.astype(jnp.float32), axis=0,
+                            keepdims=True)
+    dg_ref[...] += jnp.sum(dy * xhat, axis=0, keepdims=True)
+    dbl_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+
+
+def _full_spec(shape):
+    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_block_attention(x, gamma, beta, w_qkv, b_qkv, w_proj, b_proj,
+                          num_heads, eps=1e-6, scale=None):
+    """x + proj(attention(LayerNorm(x))) as one Pallas kernel per direction.
+
+    x: [B, N, C] bf16 residual stream; gamma/beta: [C] f32 LN params;
+    w_qkv: [C, 3C], b_qkv: [3C] (timm fused-qkv layout); w_proj: [C, C],
+    b_proj: [C]. Returns the next residual stream block, [B, N, C] in
+    x.dtype.
+    """
+    out, _ = _fused_block_fwd(x, gamma, beta, w_qkv, b_qkv, w_proj, b_proj,
+                              num_heads, eps, scale)
+    return out
+
+
+def _block_operands(x, gamma, beta, w_qkv, b_qkv, w_proj, b_proj):
+    return (gamma.astype(jnp.float32).reshape(1, -1),
+            beta.astype(jnp.float32).reshape(1, -1),
+            w_qkv.astype(x.dtype), b_qkv.astype(x.dtype).reshape(1, -1),
+            w_proj.astype(x.dtype), b_proj.astype(x.dtype).reshape(1, -1))
+
+
+def _fused_block_fwd(x, gamma, beta, w_qkv, b_qkv, w_proj, b_proj,
+                     num_heads, eps, scale):
+    B, N, C = x.shape
+    D = C // num_heads
+    scale_val = (D ** -0.5) if scale is None else scale
+    g, bl, wq, bq, wp, bp = _block_operands(x, gamma, beta, w_qkv, b_qkv,
+                                            w_proj, b_proj)
+    kernel = functools.partial(_block_fwd_kernel, scale_val, num_heads, eps)
+    xspec = pl.BlockSpec((1, N, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[xspec] + [_full_spec(a.shape)
+                            for a in (g, bl, wq, bq, wp, bp)],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
+        interpret=_use_interpret(),
+    )(x, g, bl, wq, bq, wp, bp)
+    return out, (x, g, bl, wq, bq, wp)
+
+
+def _fused_block_bwd(num_heads, eps, scale, residuals, d_out):
+    x, g, bl, wq, bq, wp = residuals
+    B, N, C = x.shape
+    D = C // num_heads
+    scale_val = (D ** -0.5) if scale is None else scale
+    kernel = functools.partial(_block_bwd_kernel, scale_val, num_heads, eps)
+    xspec = pl.BlockSpec((1, N, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, N, C), x.dtype),        # dx
+        jax.ShapeDtypeStruct((C, 3 * C), jnp.float32),   # d_wqkv
+        jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),   # d_bqkv
+        jax.ShapeDtypeStruct((C, C), jnp.float32),       # d_wproj
+        jax.ShapeDtypeStruct((1, C), jnp.float32),       # d_bproj
+        jax.ShapeDtypeStruct((1, C), jnp.float32),       # d_gamma
+        jax.ShapeDtypeStruct((1, C), jnp.float32),       # d_beta
+    )
+    dx, dwq, dbq, dwp, dbp, dg, dbl = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[xspec] + [_full_spec(a.shape)
+                            for a in (g, bl, wq, bq, wp)] + [xspec],
+        out_specs=(xspec,) + tuple(_full_spec(s.shape) for s in out_shapes[1:]),
+        out_shape=out_shapes,
+        # the VMEM-resident f32 grad accumulators (d_wqkv 7.1 MB + d_wproj
+        # 2.4 MB) push the kernel past the default 16 MB scoped-vmem limit
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=40 * 1024 * 1024),
+        interpret=_use_interpret(),
+    )(x, g, bl, wq, bq, wp, d_out)
+    return (dx, dg.reshape(-1), dbl.reshape(-1), dwq, dbq.reshape(-1),
+            dwp, dbp.reshape(-1))
+
+
+fused_block_attention.defvjp(_fused_block_fwd, _fused_block_bwd)

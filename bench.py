@@ -80,10 +80,23 @@ def bench_model(model_name: str, batch: int, steps: int, image_size: int = 224):
     step = jax.jit(step_fn, donate_argnums=(0, 1, 2))
 
     # FLOPs of the whole compiled train step (fwd+bwd+Adam+BN), straight
-    # from XLA's cost model — used for the MFU report.
+    # from XLA's cost model — used for the MFU report. Metered with the
+    # Pallas attention kernels OFF (force_xla_attention): the cost model
+    # cannot see inside pallas_call, so kernel fusion state would otherwise
+    # change the meter, not the work (r3's mfu_vit 0.494 undercounted the
+    # kernel-hidden qkv+core flops; this meter is kernel-independent).
+    # GOTCHA: the force_xla scope is a ContextVar that no jit/tracing cache
+    # key can see — metering through `step_fn` itself (even via a separate
+    # jax.jit wrapper: the TRACING cache is keyed by the underlying function
+    # id) would poison the cache with the XLA-attention jaxpr and the timed
+    # loop would never run the kernels (measured: ViT 759 vs 1070 img/s).
+    # A fresh lambda gives the meter its own tracing-cache entry.
     try:
-        compiled = step.lower(params, batch_stats, opt_state, images_u8,
-                              labels, rng).compile()
+        from artgraph_tpu.models.vit import force_xla_attention
+        meter = jax.jit(lambda *a: step_fn(*a))
+        with force_xla_attention():
+            compiled = meter.lower(params, batch_stats, opt_state, images_u8,
+                                   labels, rng).compile()
         ca = compiled.cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
@@ -154,15 +167,22 @@ def bench_infer(model_name: str, batch: int, steps: int = 30,
     # variables ride as an ARGUMENT, not a closure: closed-over arrays embed
     # as constants in the XLA computation, and ViT-B's ~344 MB of f32 params
     # overflow the axon tunnel's remote_compile HTTP body limit (HTTP 413).
-    @jax.jit
-    def infer(variables, carry, images_u8):
+    def infer_fn(variables, carry, images_u8):
         images = normalize_images(images_u8, transform)
         logits = model.apply(variables, images, train=False)
         return carry + jnp.mean(logits)
 
+    infer = jax.jit(infer_fn)
+
+    # flops metered kernel-independently (see bench_model's meter note);
+    # the fresh lambda keeps the force_xla trace out of infer's tracing
+    # cache (the ContextVar is invisible to every jit cache key)
     try:
-        ca = infer.lower(variables, jnp.float32(0.0),
-                         images_u8).compile().cost_analysis()
+        from artgraph_tpu.models.vit import force_xla_attention
+        with force_xla_attention():
+            ca = jax.jit(lambda *a: infer_fn(*a)).lower(
+                variables, jnp.float32(0.0),
+                images_u8).compile().cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))
@@ -274,7 +294,8 @@ def bench_epoch(n_images: int = 512, batch: int = 128, epochs: int = 3,
     from artgraph_tpu.train import cross_entropy
     from artgraph_tpu.train.trainer import Trainer, accuracy_metrics, adam
 
-    root = "/tmp/artgraph_bench_epoch"
+    root = ("/tmp/artgraph_bench_epoch" if n_images == 512
+            else f"/tmp/artgraph_bench_epoch_{n_images}")
     img_dir = os.path.join(root, "images")
     split_dir = os.path.join(root, "dataset", "train")
     if not os.path.exists(os.path.join(split_dir, "mapping",
@@ -335,25 +356,32 @@ def bench_epoch(n_images: int = 512, batch: int = 128, epochs: int = 3,
 
 
 def bench_profile(model_name: str = "vit", batch: int = 128,
-                  trace_dir: str = "/tmp/artgraph_trace"):
+                  trace_dir: str = "/tmp/artgraph_trace", infer: bool = False):
     """Reproducible per-module dissection of the train step + a
     jax.profiler trace (profiling.trace) for offline inspection.
 
     Device-op events do not stream back over this container's tunnel, so
     the breakdown comes from timing each module's jitted fwd+bwd directly
     (the same method as the development notes' dissections).
+
+    With infer=True the same modules are timed FORWARD-ONLY in eval mode —
+    the serving-path dissection (`--profile --infer`), for explaining
+    eval-MFU vs train-MFU gaps per module.
     """
     from artgraph_tpu.profiling import trace
 
     def timeit(f, *args, n=20):
-        g = jax.jit(jax.value_and_grad(
-            lambda *a: jnp.sum(f(*a).astype(jnp.float32))))
+        if infer:
+            g = jax.jit(lambda *a: jnp.sum(f(*a).astype(jnp.float32)))
+        else:
+            g = jax.jit(jax.value_and_grad(
+                lambda *a: jnp.sum(f(*a).astype(jnp.float32))))
         out = g(*args)
-        float(out[0])
+        float(out[0] if not infer else out)
         t0 = time.perf_counter()
         for _ in range(n):
             out = g(*args)
-        float(out[0])
+        float(out[0] if not infer else out)
         return (time.perf_counter() - t0) / n * 1000
 
     key = jax.random.PRNGKey(0)
@@ -371,6 +399,12 @@ def bench_profile(model_name: str = "vit", batch: int = 128,
         va = att.init(key, x)
         parts["attention_module_x12"] = 12 * timeit(
             lambda p: att.apply(p, x), va)
+        # the full pre-norm attention branch x + proj(attn(LN(x))) — on TPU
+        # this is the fused block kernel (ops.attention.fused_block_attention)
+        gamma = jnp.ones((C,), jnp.float32)
+        beta = jnp.zeros((C,), jnp.float32)
+        parts["block_branch_x12"] = 12 * timeit(
+            lambda p: att.apply(p, x, ln_params=(gamma, beta)), va)
         q = jax.random.normal(key, (B, N, H, 64), jnp.bfloat16)
         parts["attention_core_x12"] = 12 * timeit(
             lambda q: fused_attention(q, q, q), q)
@@ -445,11 +479,15 @@ def bench_profile(model_name: str = "vit", batch: int = 128,
         img = normalize_images(img_u8, "resnet")
         variables = model.init(key, img, train=False)
 
-        def full(v):
-            out, _ = model.apply(v, img, train=True,
-                                 rngs={"dropout": key},
-                                 mutable=["batch_stats"])
-            return out
+        if infer:
+            def full(v):
+                return model.apply(v, img, train=False)
+        else:
+            def full(v):
+                out, _ = model.apply(v, img, train=True,
+                                     rngs={"dropout": key},
+                                     mutable=["batch_stats"])
+                return out
         full_fn, full_args = full, (variables,)
         parts["full_model"] = timeit(full_fn, *full_args)
 
@@ -491,21 +529,25 @@ def bench_profile(model_name: str = "vit", batch: int = 128,
                                    downsample=(i == 0))(x, train=train)
                 return x
 
-        parts["stem"] = bn_timeit(_Stem(), img)
+        train_mode = not infer
+        parts["stem"] = bn_timeit(_Stem(), img, train=train_mode)
         geoms = [(64, 3, 1, 56, 64), (128, 4, 2, 56, 256),
                  (256, 6, 2, 28, 512), (512, 3, 2, 14, 1024)]
         for si, (w, blocks, stride, hw, cin) in enumerate(geoms):
             x = jax.random.normal(key, (batch, hw, hw, cin), jnp.bfloat16)
             parts[f"stage{si + 1}"] = bn_timeit(
-                _Stage(width=w, blocks=blocks, stride=stride), x)
+                _Stage(width=w, blocks=blocks, stride=stride), x,
+                train=train_mode)
 
-        # BN share: the same stages with batch statistics OFF (running-stat
-        # normalization only) — the difference is the cost of computing
-        # batch moments + their backward.
-        for si, (w, blocks, stride, hw, cin) in enumerate(geoms):
-            x = jax.random.normal(key, (batch, hw, hw, cin), jnp.bfloat16)
-            parts[f"stage{si + 1}_eval_bn"] = bn_timeit(
-                _Stage(width=w, blocks=blocks, stride=stride), x, train=False)
+        if not infer:
+            # BN share: the same stages with batch statistics OFF
+            # (running-stat normalization only) — the difference is the cost
+            # of computing batch moments + their backward.
+            for si, (w, blocks, stride, hw, cin) in enumerate(geoms):
+                x = jax.random.normal(key, (batch, hw, hw, cin), jnp.bfloat16)
+                parts[f"stage{si + 1}_eval_bn"] = bn_timeit(
+                    _Stage(width=w, blocks=blocks, stride=stride), x,
+                    train=False)
 
         # optimizer: full-tree Adam update. The real step runs Adam INSIDE
         # the one jitted program (donated state, no separate dispatch), so
@@ -536,17 +578,23 @@ def bench_profile(model_name: str = "vit", batch: int = 128,
                 out = f(grads, s0, p0)
             np.asarray(jax.tree_util.tree_leaves(out)[0])
             return (time.perf_counter() - t0) / n
-        parts["adam_update"] = (opt_time(25) - opt_time(5)) / 20 * 1000
+        if not infer:
+            parts["adam_update"] = (opt_time(25) - opt_time(5)) / 20 * 1000
 
-    # emit a trace of a few full fwd+bwd passes for offline tools
-    g = jax.jit(jax.value_and_grad(
-        lambda *a: jnp.sum(full_fn(*a).astype(jnp.float32))))
+    # emit a trace of a few full passes for offline tools
+    if infer:
+        g = jax.jit(lambda *a: jnp.sum(full_fn(*a).astype(jnp.float32)))
+        sync = float
+    else:
+        g = jax.jit(jax.value_and_grad(
+            lambda *a: jnp.sum(full_fn(*a).astype(jnp.float32))))
+        sync = lambda out: float(out[0])
     out = g(*full_args)
-    float(out[0])
+    sync(out)
     with trace(trace_dir):
         for _ in range(3):
             out = g(*full_args)
-        float(out[0])
+        sync(out)
 
     return {k: round(v, 2) for k, v in parts.items()}, trace_dir
 
@@ -595,6 +643,9 @@ def main():
     parser.add_argument("--epoch", action="store_true",
                         help="benchmark the END-TO-END cached ResNet epoch "
                              "(loader + prefetch + step) instead")
+    parser.add_argument("--epoch_images", type=int, default=512,
+                        help="--epoch: images per epoch (4096 shows "
+                             "convergence to step rate at realistic sizes)")
     parser.add_argument("--infer", action="store_true",
                         help="benchmark eval-mode forward (serving) "
                              "throughput instead")
@@ -609,13 +660,16 @@ def main():
     args = parser.parse_args()
 
     if args.profile:
-        parts, trace_dir = bench_profile(args.model, args.batch)
+        parts, trace_dir = bench_profile(args.model, args.batch,
+                                         infer=args.infer)
         top = sorted(parts.items(), key=lambda kv: -kv[1])
+        mode = "eval fwd" if args.infer else "fwd+bwd"
         print(json.dumps({
-            "metric": f"{args.model}_step_dissection_ms",
+            "metric": (f"{args.model}_step_dissection_ms"
+                       + ("_infer" if args.infer else "")),
             "value": parts.get("full_trunk", parts.get(
                 "full_model", parts.get("gat_layer_composed"))),
-            "unit": "ms/step fwd+bwd",
+            "unit": f"ms/step {mode}",
             "vs_baseline": 1.0,
             "extras": {"breakdown_ms": dict(top), "batch": args.batch,
                        "trace": trace_dir},
@@ -654,15 +708,21 @@ def main():
         return
 
     if args.epoch:
-        ips, first, times, host_epoch = bench_epoch(batch=args.batch)
+        # the host-loader comparison is only meaningful (and only quoted) at
+        # the default 512-image size; at 4k+ it would add ~80 s of tunnel H2D
+        host_compare = args.epoch_images == 512
+        ips, first, times, host_epoch = bench_epoch(
+            n_images=args.epoch_images, batch=args.batch,
+            host_compare=host_compare)
         print(json.dumps({
             "metric": "resnet50_cached_epoch_images_per_sec",
             "value": round(ips, 1), "unit": "images/sec",
             "vs_baseline": round(ips / TORCH_CPU_RESNET50, 1),
             "extras": {"first_epoch_sec": round(first, 2),
                        "resident_epoch_sec": [round(t, 3) for t in times],
-                       "host_loader_epoch_sec": round(host_epoch, 3),
-                       "images": 512, "batch": args.batch,
+                       "host_loader_epoch_sec": (round(host_epoch, 3)
+                                                 if host_epoch else None),
+                       "images": args.epoch_images, "batch": args.batch,
                        "baseline": "torch-cpu reference epoch ~665s"},
         }))
         return

@@ -17,6 +17,21 @@ import pandas as pd
 from PIL import Image
 
 
+def render_class_image(style, genre, n_style, n_genre, size, rng):
+    """Class-structured pixels so trainers can LEARN on the fixture (the e2e
+    tests assert decreasing train loss, which random noise cannot support):
+    the red channel encodes style, green stripes encode genre, plus mild
+    noise. The signal survives JPEG compression and the 224x224 resize."""
+    h, w = size
+    arr = np.empty((h, w, 3), np.float32)
+    arr[..., 0] = 255.0 * style / max(n_style - 1, 1)
+    period = 4 * (genre + 1)
+    arr[..., 1] = ((np.arange(h)[:, None] // period) % 2) * 255.0
+    arr[..., 2] = 128.0
+    arr += rng.normal(0.0, 12.0, arr.shape)
+    return np.clip(arr, 0, 255).astype(np.uint8)
+
+
 def make_image_tree(root: pathlib.Path, counts=None, n_style=4, n_genre=3,
                     size=(48, 64)):
     counts = counts or {"train": 24, "validation": 8, "test": 8}
@@ -31,11 +46,13 @@ def make_image_tree(root: pathlib.Path, counts=None, n_style=4, n_genre=3,
         names, styles, genres = [], [], []
         for i in range(n):
             name = f"{split}_{i}.jpg"
-            arr = rng.integers(0, 255, size=(*size, 3), dtype=np.uint8)
+            # round-robin labels: every class present in every split
+            style, genre = i % n_style, i % n_genre
+            arr = render_class_image(style, genre, n_style, n_genre, size, rng)
             Image.fromarray(arr).save(image_dir / name)
             names.append(name)
-            styles.append(int(rng.integers(0, n_style)))
-            genres.append(int(rng.integers(0, n_genre)))
+            styles.append(style)
+            genres.append(genre)
         pd.DataFrame({"idx": range(n), "image": names}).to_csv(
             split_dir / "mapping" / "artwork_entidx2name.csv",
             header=False, index=False)

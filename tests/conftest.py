@@ -23,7 +23,6 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pandas as pd
 import pytest
-from PIL import Image
 
 # ---------------------------------------------------------------------------
 # Suite tiers (1-core host; see CLAUDE.md "Workflow"):
@@ -37,7 +36,8 @@ _QUICK_MODULES = {
     "test_graft_entry", "test_runtime_native", "test_artifacts",
     "test_pretrained_manifest",
 }
-_SLOW_MODULES = {"test_pipeline_e2e", "test_gnn_parallel", "test_notebook"}
+_SLOW_MODULES = {"test_pipeline_e2e", "test_gnn_parallel", "test_notebook",
+                 "test_bf16_policy"}
 
 
 def pytest_collection_modifyitems(config, items):
@@ -59,40 +59,19 @@ def synthetic_dataset(tmp_path_factory):
       <root>/dataset/{train,validation,test}/mapping/artwork_entidx2name.csv
       <root>/dataset/<split>/raw/node-label/artwork/node-label-{style,genre}.csv
       <root>/images/*.jpg
+
+    Images are class-structured (tests/_make_synth.py:render_class_image) and
+    labels round-robin so e2e trainer tests can assert learning happens.
     """
+    from _make_synth import make_image_tree
+
     root = tmp_path_factory.mktemp("artgraph")
-    image_dir = root / "images"
-    image_dir.mkdir()
-    rng = np.random.default_rng(0)
-
-    counts = {"train": 24, "validation": 8, "test": 8}
     n_style, n_genre = 4, 3
-    for split, n in counts.items():
-        split_dir = root / "dataset" / split
-        (split_dir / "mapping").mkdir(parents=True)
-        (split_dir / "raw" / "node-label" / "artwork").mkdir(parents=True)
-        names, styles, genres = [], [], []
-        for i in range(n):
-            name = f"{split}_{i}.jpg"
-            arr = rng.integers(0, 255, size=(48, 64, 3), dtype=np.uint8)
-            Image.fromarray(arr).save(image_dir / name)
-            names.append(name)
-            styles.append(int(rng.integers(0, n_style)))
-            genres.append(int(rng.integers(0, n_genre)))
-        pd.DataFrame({"idx": range(n), "image": names}).to_csv(
-            split_dir / "mapping" / "artwork_entidx2name.csv",
-            header=False, index=False)
-        pd.Series(styles).to_csv(
-            split_dir / "raw" / "node-label" / "artwork" / "node-label-style.csv",
-            header=False, index=False)
-        pd.Series(genres).to_csv(
-            split_dir / "raw" / "node-label" / "artwork" / "node-label-genre.csv",
-            header=False, index=False)
-
+    counts = make_image_tree(root, n_style=n_style, n_genre=n_genre)
     return {
         "root": str(root),
         "dataset_dir": str(root / "dataset"),
-        "image_dir": str(image_dir),
+        "image_dir": str(root / "images"),
         "counts": counts,
         "num_style": n_style,
         "num_genre": n_genre,

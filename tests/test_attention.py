@@ -5,7 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from artgraph_tpu.ops.attention import fused_attention, fused_qkv_attention
+from artgraph_tpu.ops.attention import (fused_attention,
+                                        fused_block_attention,
+                                        fused_qkv_attention)
 
 
 def _qkv(B=2, N=197, H=4, D=64, seed=0):
@@ -120,6 +122,86 @@ def test_qkv_fused_bf16_vit_geometry():
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=3e-2, atol=3e-2)
+
+
+def _block_ref(x, gamma, beta, w, b, wp, bp, H, eps=1e-6):
+    """Composite XLA reference for the fused block kernel:
+    x + proj(attention(LayerNorm(x))) with f32 LN statistics."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean,
+                      0.0)
+    y = ((xf - mean) * jax.lax.rsqrt(var + eps) * gamma + beta).astype(x.dtype)
+    attn = _qkv_ref(y, w.astype(x.dtype), b.astype(x.dtype), H)
+    p = (attn @ wp.astype(x.dtype) + bp.astype(x.dtype))
+    return x + p.astype(x.dtype)
+
+
+def _block_inputs(B=2, N=197, C=256, H=4, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    gamma = jnp.asarray(1.0 + 0.1 * rng.normal(size=(C,)).astype(np.float32))
+    beta = jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(C, 3 * C)) / np.sqrt(C))
+                    .astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(3 * C,)).astype(np.float32) * 0.02)
+    wp = jnp.asarray((rng.normal(size=(C, C)) / np.sqrt(C)).astype(np.float32))
+    bp = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.02)
+    return x, gamma, beta, w, b, wp, bp
+
+
+def test_block_fused_forward_matches_composite():
+    args = _block_inputs()
+    ref = _block_ref(*args, 4)
+    out = fused_block_attention(*args, 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_block_fused_gradients_match_composite():
+    args = _block_inputs(B=3, N=64, C=128, H=2, seed=1)
+    argnums = tuple(range(7))
+
+    def loss(f):
+        return lambda *a: jnp.sum(jnp.sin(f(*a, 2)))
+
+    g_ref = jax.grad(loss(_block_ref), argnums=argnums)(*args)
+    g_out = jax.grad(loss(fused_block_attention), argnums=argnums)(*args)
+    names = ("dx", "dgamma", "dbeta", "dw_qkv", "db_qkv", "dw_proj", "db_proj")
+    for name, a, b_ in zip(names, g_ref, g_out):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=2e-3, atol=2e-3, err_msg=name)
+
+
+def test_block_fused_bf16_vit_geometry():
+    """Production geometry (bf16 x, f32 params, N=197, H=12), fwd + grads."""
+    x, gamma, beta, w, b, wp, bp = _block_inputs(B=2, N=197, C=768, H=12,
+                                                 seed=2)
+    xb = x.astype(jnp.bfloat16)
+    out = fused_block_attention(xb, gamma, beta, w, b, wp, bp, 12)
+    assert out.dtype == jnp.bfloat16
+    ref = _block_ref(xb, gamma, beta, w, b, wp, bp, 12)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+    def loss(f):
+        return lambda *a: jnp.sum(jnp.sin(f(*a, 12).astype(jnp.float32)))
+
+    argnums = tuple(range(7))
+    g_ref = jax.grad(loss(_block_ref), argnums=argnums)(xb, gamma, beta, w,
+                                                        b, wp, bp)
+    g_out = jax.grad(loss(fused_block_attention),
+                     argnums=argnums)(xb, gamma, beta, w, b, wp, bp)
+    names = ("dx", "dgamma", "dbeta", "dw_qkv", "db_qkv", "dw_proj", "db_proj")
+    for name, a, b_ in zip(names, g_ref, g_out):
+        a = np.asarray(a, np.float32)
+        b_ = np.asarray(b_, np.float32)
+        scale = np.abs(a).mean() + 1e-6
+        # 0.2: worst-element-vs-mean-magnitude over 1.7M-element bf16 grads
+        # (the reference composition's own bf16 rounding differs per op order)
+        assert np.max(np.abs(a - b_)) / scale < 0.2, (
+            f"{name}: {np.max(np.abs(a - b_)) / scale}")
 
 
 def test_custom_scale():

@@ -1,12 +1,32 @@
 """End-to-end mini-pipeline on synthetic data (SURVEY.md §4 plan): all four
 stages — GNN embeddings -> projector -> projections -> fusion model — plus
 the baseline trainer, through the real CLI entry points on the 8-device CPU
-platform."""
+platform.
+
+The fixture images are class-structured (conftest), so every trainer test
+asserts LEARNING — the per-epoch train loss printed by the CLI (the
+reference's per-epoch printout, ref src/train_baseline.py:139-140) must
+decrease from the first epoch to the last. A sign-flipped loss or a
+garbage-output model fails the suite."""
 import os
+import re
 import sys
 
 import numpy as np
 import pytest
+
+
+def _train_losses(capsys) -> list:
+    """Parse the CLI's per-epoch 'Train loss: <x>' printout."""
+    out = capsys.readouterr().out
+    sys.stdout.write(out)  # keep -s debuggability
+    return [float(m) for m in re.findall(r"Train loss: ([0-9.eE+-]+)", out)]
+
+
+def _assert_learning(losses, epochs):
+    assert len(losses) == epochs, f"expected {epochs} epochs, got {losses}"
+    assert losses[-1] < losses[0] * 0.98, (
+        f"train loss did not decrease across epochs: {losses}")
 
 
 @pytest.fixture()
@@ -30,42 +50,47 @@ def env(synthetic_dataset, synthetic_graph, tmp_path, monkeypatch):
             "graph": synthetic_graph["root"]}
 
 
-BASE = ["--epochs", "1", "--batch", "8", "--num_workers", "2"]
+EPOCHS = 3  # enough steps on the class-structured fixture for loss to drop
+BASE = ["--epochs", str(EPOCHS), "--batch", "8", "--num_workers", "2"]
 
 
 def _data_args(env):
     return ["--dataset_path", env["ds"], "--image_path", env["img"]]
 
 
-def test_train_baseline_e2e(env, tmp_path):
+def test_train_baseline_e2e(env, tmp_path, capsys):
     from artgraph_tpu.cli import train_baseline
 
     acc = train_baseline.main(_data_args(env) + BASE + [
         "--label", "style", "--results_dir", str(tmp_path / "res")])
+    _assert_learning(_train_losses(capsys), EPOCHS)
     assert 0.0 <= acc <= 1.0
     assert os.path.exists(os.path.join(
         env["ck"], "style_resnet_baseline_single-task_checkpoint.pt"))
     assert os.path.exists(tmp_path / "res" / "results.csv")
 
 
-def test_train_baseline_with_weights_and_tracking(env, tmp_path, monkeypatch):
+def test_train_baseline_with_weights_and_tracking(env, tmp_path, monkeypatch,
+                                                  capsys):
     monkeypatch.chdir(tmp_path)
     from artgraph_tpu.cli import train_baseline
 
     acc = train_baseline.main(_data_args(env) + BASE + [
         "--label", "genre", "--with_weights", "--tracking"])
+    _assert_learning(_train_losses(capsys), EPOCHS)
     assert 0.0 <= acc <= 1.0
     assert os.path.isdir(tmp_path / "mlruns")
 
 
-def test_train_baseline_multitask_e2e(env):
+def test_train_baseline_multitask_e2e(env, capsys):
     from artgraph_tpu.cli import train_baseline_multitask
 
     style_acc, genre_acc = train_baseline_multitask.main(_data_args(env) + BASE)
+    _assert_learning(_train_losses(capsys), EPOCHS)
     assert 0.0 <= style_acc <= 1.0 and 0.0 <= genre_acc <= 1.0
 
 
-def test_full_four_stage_pipeline(env):
+def test_full_four_stage_pipeline(env, capsys):
     """GNN -> projector -> generate_projections -> new_multimodal_multitask."""
     from artgraph_tpu import config
     from artgraph_tpu.cli import (
@@ -105,7 +130,10 @@ def test_full_four_stage_pipeline(env):
                                         "e2e_checkpoint_projector.pt"))
         assert p.shape == (8, 128)
 
-    # stage 4: the proposed fusion model end-to-end
+    # stage 4: the proposed fusion model end-to-end. Drain (and discard —
+    # re-echoing would be captured again) stage 1-3 output so the learning
+    # assertion sees only stage 4's epochs.
+    capsys.readouterr()
     style_acc, genre_acc = train_new_multimodal_multitask.main(
         _data_args(env) + BASE + [
             "--architecture", "resnet", "--emb_type", "artwork",
@@ -115,10 +143,11 @@ def test_full_four_stage_pipeline(env):
             "--emb_valid_genre", "e2e_checkpoint_projector.pt",
             "--emb_test_style", "e2e_checkpoint_projector.pt",
             "--emb_test_genre", "e2e_checkpoint_projector.pt"])
+    _assert_learning(_train_losses(capsys), EPOCHS)
     assert 0.0 <= style_acc <= 1.0 and 0.0 <= genre_acc <= 1.0
 
 
-def test_context_trainer_e2e(env):
+def test_context_trainer_e2e(env, capsys):
     from artgraph_tpu.cli import train_baseline_context
     from artgraph_tpu.data.embeddings import save_embedding
 
@@ -128,14 +157,15 @@ def test_context_trainer_e2e(env):
     acc = train_baseline_context.main(_data_args(env) + BASE + [
         "--net", "multi-modal", "--label", "genre",
         "--emb_type", "artwork", "--emb_train", "ctx_embs.pt"])
+    _assert_learning(_train_losses(capsys), EPOCHS)
     assert 0.0 <= acc <= 1.0
 
 
-def test_data_parallel_training(env):
+def test_data_parallel_training(env, capsys):
     """DP over the 8-device CPU mesh: same CLI, --data_parallel 8."""
     from artgraph_tpu.cli import train_baseline
 
-    acc = train_baseline.main(_data_args(env) + [
-        "--epochs", "1", "--batch", "8", "--num_workers", "2",
+    acc = train_baseline.main(_data_args(env) + BASE + [
         "--label", "style", "--data_parallel", "8"])
+    _assert_learning(_train_losses(capsys), EPOCHS)
     assert 0.0 <= acc <= 1.0
