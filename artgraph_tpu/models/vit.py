@@ -187,17 +187,55 @@ class Attention(nn.Module):
 
 
 class Mlp(nn.Module):
+    """timm-style MLP: fc1 -> exact (erf) GELU -> fc2.
+
+    With ln_params=(scale, bias) it computes the FULL pre-norm MLP branch
+    x + fc2(gelu(fc1(LN(x)))) — on TPU as one Pallas kernel per direction
+    (ops.mlp.fused_block_mlp: the [B, N, 4C] hidden tensor, the GELU output
+    and d(hidden) never reach HBM); the caller must not re-add the residual.
+    Without ln_params, the plain fc1/gelu/fc2 as before.
+    """
+
     hidden: int
     dtype: Dtype = jnp.bfloat16
+    use_pallas: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, ln_params=None):
         C = x.shape[-1]
         dense = partial(nn.Dense, dtype=self.dtype, param_dtype=jnp.float32)
+        use_kernel = _pallas_attention_on(self.use_pallas)
+
+        if use_kernel and ln_params is not None:
+            from artgraph_tpu.ops.mlp import fused_block_mlp
+
+            w1, b1 = _DenseParams(self.hidden, name="fc1")(C)
+            w2, b2 = _DenseParams(C, name="fc2")(self.hidden)
+            gamma, beta = ln_params
+            return fused_block_mlp(x.astype(self.dtype), gamma, beta,
+                                   w1, b1, w2, b2)
+
+        residual = None
+        if ln_params is not None:
+            # unfused fallback with identical semantics (and the same
+            # param tree): f32 LN here, residual re-added below
+            residual = x
+            gamma, beta = ln_params
+            acc = at_least_f32(self.dtype)
+            xf = x.astype(acc)
+            mean = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.maximum(
+                jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+            x = ((xf - mean) * jax.lax.rsqrt(var + 1e-6) * gamma
+                 + beta).astype(self.dtype)
+
         x = dense(self.hidden, name="fc1")(x)
         # timm uses exact (erf) GELU
         x = nn.gelu(x, approximate=False)
-        return dense(C, name="fc2")(x)
+        out = dense(C, name="fc2")(x)
+        if residual is not None:
+            return residual + out.astype(residual.dtype)
+        return out
 
 
 class Block(nn.Module):
@@ -222,16 +260,21 @@ class Block(nn.Module):
         attn = Attention(self.num_heads, dtype=self.dtype,
                          use_pallas=self.use_pallas_attention,
                          fuse_qkv=self.fuse_qkv, name="attn")
+        mlp = Mlp(int(C * self.mlp_ratio), dtype=self.dtype,
+                  use_pallas=self.use_pallas_attention, name="mlp")
         if _pallas_attention_on(self.use_pallas_attention) and self.fuse_qkv:
-            # fused block kernel: norm1 + attention + proj + residual add in
-            # one pallas_call (ops.attention.fused_block_attention); norm1's
-            # params are declared here under their usual name/shape
+            # fused block kernels: norm1 + attention + proj + residual add as
+            # one pallas_call (ops.attention.fused_block_attention), then
+            # norm2 + fc1 + gelu + fc2 + residual add as another
+            # (ops.mlp.fused_block_mlp); the norm params are declared here
+            # under their usual names/shapes
             x = attn(x, ln_params=_LNParams(name="norm1")(C))
+            x = mlp(x, ln_params=_LNParams(name="norm2")(C))
         else:
             x = x + attn(
                 ln(name="norm1")(x).astype(self.dtype)).astype(x.dtype)
-        x = x + Mlp(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp")(
-            ln(name="norm2")(x).astype(self.dtype)).astype(x.dtype)
+            x = x + mlp(
+                ln(name="norm2")(x).astype(self.dtype)).astype(x.dtype)
         return x
 
 
