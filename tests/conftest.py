@@ -26,7 +26,7 @@ import pytest
 
 # ---------------------------------------------------------------------------
 # Suite tiers (1-core host; see CLAUDE.md "Workflow"):
-#   quick — sub-5-minute signal:  pytest -m quick
+#   quick — first-signal tier (~7 min measured on this host):  pytest -m quick
 #   fast  — default tier (unmarked): everything not quick/slow
 #   slow  — the long e2e/parallel suites: pytest -m slow
 # `pytest tests/ -q` still runs quick+fast+slow; deselect with -m.
