@@ -39,6 +39,17 @@ Dtype = Any
 _FORCE_XLA_ATTENTION: contextvars.ContextVar = contextvars.ContextVar(
     "force_xla_attention", default=False)
 
+# Trace-scope switch in the OPPOSITE direction: force the fused Pallas
+# kernels ON even off-TPU, where they execute in Pallas interpret mode
+# (ops.attention._use_interpret). This is how the production kernel path is
+# exercised INSIDE shard_map on the virtual CPU mesh — the same pattern the
+# CSR GNN kernels use (ops/csr_segment.py) — so the multi-device
+# kernel-under-Manual-axes configuration has real executions in tests and in
+# the MULTICHIP dryrun instead of silently falling back to XLA attention.
+# The ARTGRAPH_PALLAS_ON_CPU=1 env var is the subprocess-friendly spelling.
+_FORCE_PALLAS_KERNELS: contextvars.ContextVar = contextvars.ContextVar(
+    "force_pallas_kernels", default=False)
+
 
 @contextlib.contextmanager
 def force_xla_attention():
@@ -50,11 +61,34 @@ def force_xla_attention():
         _FORCE_XLA_ATTENTION.reset(token)
 
 
+@contextlib.contextmanager
+def force_pallas_kernels():
+    """Force the fused Pallas kernels ON for traces opened in this scope,
+    even off-TPU (interpret mode). A force_xla_attention scope still wins:
+    it marks traces where pallas_call is structurally unusable
+    (auto-sharded multi-device jit)."""
+    token = _FORCE_PALLAS_KERNELS.set(True)
+    try:
+        yield
+    finally:
+        _FORCE_PALLAS_KERNELS.reset(token)
+
+
+def _pallas_kernels_forced() -> bool:
+    import os
+
+    return (_FORCE_PALLAS_KERNELS.get()
+            or os.environ.get("ARTGRAPH_PALLAS_ON_CPU", "") == "1")
+
+
 def _pallas_attention_on(use_pallas: bool) -> bool:
     """Pallas attention kernels run on TPU traces unless a force_xla scope
-    (auto-sharded multi-device jit) is active."""
-    return (use_pallas and jax.devices()[0].platform != "cpu"
-            and not _FORCE_XLA_ATTENTION.get())
+    (auto-sharded multi-device jit) is active; off-TPU they run (interpreted)
+    only inside a force_pallas_kernels scope / ARTGRAPH_PALLAS_ON_CPU=1."""
+    if not use_pallas or _FORCE_XLA_ATTENTION.get():
+        return False
+    return (jax.devices()[0].platform != "cpu"
+            or _pallas_kernels_forced())
 
 
 class _LNParams(nn.Module):
