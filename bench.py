@@ -29,6 +29,40 @@ import optax
 TORCH_CPU_RESNET50 = 0.77
 
 
+def metered_flops(step_fn, force_ctx, *args) -> float:
+    """Kernel-independent FLOPs of one compiled step, from XLA's cost model.
+
+    Metered with the Pallas kernels OFF (force_ctx = force_xla_attention):
+    the cost model cannot see inside pallas_call, so kernel fusion state
+    would otherwise change the meter, not the work (r3's mfu_vit 0.494
+    undercounted the kernel-hidden qkv+core flops).
+
+    GOTCHA (the r3 headline bug, pinned by tests/test_bench.py): the
+    force_ctx scope is a ContextVar that no jit/tracing cache key can see —
+    metering through `step_fn` itself, EVEN via a separate jax.jit wrapper
+    (the tracing cache is keyed by the underlying function id), would poison
+    the cache with the forced jaxpr and the timed loop would never run the
+    kernels (measured: ViT 759 vs 1070 img/s). The FRESH LAMBDA below gives
+    the meter its own tracing-cache entry; the timed fn's cache is untouched.
+    """
+    meter = jax.jit(lambda *a: step_fn(*a))
+    with force_ctx():
+        compiled = meter.lower(*args).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    return float(ca.get("flops", 0.0))
+
+
+def two_point_rate(t_lo: float, n_lo: int, t_hi: float, n_hi: int,
+                   items_per_step: float) -> float:
+    """Throughput from two chained-run timings: the slope of wall-time vs
+    step count is the true per-step time, so the fixed per-chain
+    dispatch/transfer overhead (the axon tunnel adds ~20 ms per chain)
+    cancels exactly. Unit-tested in tests/test_bench.py."""
+    return items_per_step * (n_hi - n_lo) / (t_hi - t_lo)
+
+
 def bench_model(model_name: str, batch: int, steps: int, image_size: int = 224):
     from artgraph_tpu.models import ResnetSingleTask, ViTSingleTask
     from artgraph_tpu.ops.preprocess import normalize_images
@@ -79,28 +113,13 @@ def bench_model(model_name: str, batch: int, steps: int, image_size: int = 224):
 
     step = jax.jit(step_fn, donate_argnums=(0, 1, 2))
 
-    # FLOPs of the whole compiled train step (fwd+bwd+Adam+BN), straight
-    # from XLA's cost model — used for the MFU report. Metered with the
-    # Pallas attention kernels OFF (force_xla_attention): the cost model
-    # cannot see inside pallas_call, so kernel fusion state would otherwise
-    # change the meter, not the work (r3's mfu_vit 0.494 undercounted the
-    # kernel-hidden qkv+core flops; this meter is kernel-independent).
-    # GOTCHA: the force_xla scope is a ContextVar that no jit/tracing cache
-    # key can see — metering through `step_fn` itself (even via a separate
-    # jax.jit wrapper: the TRACING cache is keyed by the underlying function
-    # id) would poison the cache with the XLA-attention jaxpr and the timed
-    # loop would never run the kernels (measured: ViT 759 vs 1070 img/s).
-    # A fresh lambda gives the meter its own tracing-cache entry.
+    # FLOPs of the whole compiled train step (fwd+bwd+Adam+BN) for the MFU
+    # report — kernel-independent, fresh-lambda metered (see metered_flops).
     try:
         from artgraph_tpu.models.vit import force_xla_attention
-        meter = jax.jit(lambda *a: step_fn(*a))
-        with force_xla_attention():
-            compiled = meter.lower(params, batch_stats, opt_state, images_u8,
-                                   labels, rng).compile()
-        ca = compiled.cost_analysis()
-        if isinstance(ca, list):
-            ca = ca[0]
-        flops_per_step = float(ca.get("flops", 0.0))
+        flops_per_step = metered_flops(step_fn, force_xla_attention, params,
+                                       batch_stats, opt_state, images_u8,
+                                       labels, rng)
     except Exception:
         flops_per_step = 0.0
 
@@ -133,8 +152,7 @@ def bench_model(model_name: str, batch: int, steps: int, image_size: int = 224):
                                                  opt_state)
         t2, params, batch_stats, opt_state = run(steps, params, batch_stats,
                                                  opt_state)
-        step_time = (t2 - t1) / (steps - n1)
-        trials.append(batch / step_time)
+        trials.append(two_point_rate(t1, n1, t2, steps, batch))
     ips = float(np.median(trials))
     return ips, [round(t, 1) for t in trials], flops_per_step
 
@@ -174,18 +192,12 @@ def bench_infer(model_name: str, batch: int, steps: int = 30,
 
     infer = jax.jit(infer_fn)
 
-    # flops metered kernel-independently (see bench_model's meter note);
-    # the fresh lambda keeps the force_xla trace out of infer's tracing
-    # cache (the ContextVar is invisible to every jit cache key)
+    # flops metered kernel-independently through a fresh lambda (see
+    # metered_flops: the ContextVar is invisible to every jit cache key)
     try:
         from artgraph_tpu.models.vit import force_xla_attention
-        with force_xla_attention():
-            ca = jax.jit(lambda *a: infer_fn(*a)).lower(
-                variables, jnp.float32(0.0),
-                images_u8).compile().cost_analysis()
-        if isinstance(ca, list):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0))
+        flops = metered_flops(infer_fn, force_xla_attention, variables,
+                              jnp.float32(0.0), images_u8)
     except Exception:
         flops = 0.0
 
@@ -202,7 +214,7 @@ def bench_infer(model_name: str, batch: int, steps: int = 30,
     trials = []
     for _ in range(3):
         t1, t2 = run(n1), run(steps)
-        trials.append(batch * (steps - n1) / (t2 - t1))
+        trials.append(two_point_rate(t1, n1, t2, steps, batch))
     return float(np.median(trials)), [round(t, 1) for t in trials], flops
 
 
@@ -270,10 +282,10 @@ def bench_gnn(num_artworks: int = 100_000, edges_per_rel: int = 1_000_000,
 
     total_edges = sum(e.shape[1] for e in edges.values())
     run(2)
-    t1 = run(max(steps // 5, 2))
+    n1 = max(steps // 5, 2)
+    t1 = run(n1)
     t2 = run(steps)
-    step_time = (t2 - t1) / (steps - max(steps // 5, 2))
-    return total_edges / step_time
+    return two_point_rate(t1, n1, t2, steps, total_edges)
 
 
 def bench_epoch(n_images: int = 512, batch: int = 128, epochs: int = 3,
