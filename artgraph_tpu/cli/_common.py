@@ -161,8 +161,14 @@ def make_loaders(datasets: Dict, batch_size: int, num_workers: int,
 
 def make_mesh(args):
     if getattr(args, 'data_parallel', 0):
+        import jax
+
         from artgraph_tpu.parallel import create_mesh
-        return create_mesh(data=args.data_parallel)
+        # --data_parallel N means DP over the FIRST N devices (N may be
+        # fewer than the host exposes, e.g. a 4-device mesh on an 8-chip
+        # slice); create_mesh itself requires data*model == len(devices).
+        n = args.data_parallel
+        return create_mesh(data=n, devices=jax.devices()[:n])
     return None
 
 

@@ -37,7 +37,7 @@ _QUICK_MODULES = {
     "test_pretrained_manifest",
 }
 _SLOW_MODULES = {"test_pipeline_e2e", "test_gnn_parallel", "test_notebook",
-                 "test_bf16_policy"}
+                 "test_bf16_policy", "test_epoch_parity"}
 
 
 def pytest_collection_modifyitems(config, items):

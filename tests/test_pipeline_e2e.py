@@ -6,8 +6,18 @@ platform.
 The fixture images are class-structured (conftest), so every trainer test
 asserts LEARNING — the per-epoch train loss printed by the CLI (the
 reference's per-epoch printout, ref src/train_baseline.py:139-140) must
-decrease from the first epoch to the last. A sign-flipped loss or a
-garbage-output model fails the suite."""
+decrease from the first epoch to the last — AND above-chance TEST accuracy
+from the RELOADED best checkpoint (the value the CLI returns, computed after
+reload_state — ref src/train_baseline.py:102-128), which a corrupted
+checkpoint-reload or broken eval path fails where a falling train loss
+cannot.
+
+Config note: batch 4 x 6 epochs (36 steps), not the old 8 x 3. Measured on
+this fixture: features are learned within 1 epoch (batch-stats test acc
+0.875) but EVAL-mode accuracy needs ~36 steps because the BN running stats
+are an EMA (momentum 0.9 — reference semantics, torch momentum 0.1) that is
+still ~0.15 from converged at 18 steps; at 36 steps measured test acc is
+0.75 on both labels vs chance 0.25/0.33."""
 import os
 import re
 import sys
@@ -27,6 +37,22 @@ def _assert_learning(losses, epochs):
     assert len(losses) == epochs, f"expected {epochs} epochs, got {losses}"
     assert losses[-1] < losses[0] * 0.98, (
         f"train loss did not decrease across epochs: {losses}")
+
+
+# Above-chance floors for the RELOADED-best-checkpoint test accuracy the CLIs
+# return: chance is 0.25 (style, 4-class) / 0.33 (genre, 3-class); measured
+# 0.625-0.75 at this config. 0.5 leaves one-to-two images (the test split is
+# 8 images, accuracy granularity 0.125) of slack below the measured values
+# while sitting 1.5-2x above chance.
+ACC_FLOOR = 0.5
+
+
+def _assert_above_chance(acc, label):
+    assert acc >= ACC_FLOOR, (
+        f"{label} test accuracy {acc} not above chance with margin "
+        f"(floor {ACC_FLOOR}): eval path or best-checkpoint reload is "
+        f"broken (the accuracy the CLI returns is computed AFTER "
+        f"reload_state)")
 
 
 @pytest.fixture()
@@ -50,8 +76,8 @@ def env(synthetic_dataset, synthetic_graph, tmp_path, monkeypatch):
             "graph": synthetic_graph["root"]}
 
 
-EPOCHS = 3  # enough steps on the class-structured fixture for loss to drop
-BASE = ["--epochs", str(EPOCHS), "--batch", "8", "--num_workers", "2"]
+EPOCHS = 6  # 36 steps at batch 4: BN running stats calibrated (see header)
+BASE = ["--epochs", str(EPOCHS), "--batch", "4", "--num_workers", "2"]
 
 
 def _data_args(env):
@@ -64,7 +90,7 @@ def test_train_baseline_e2e(env, tmp_path, capsys):
     acc = train_baseline.main(_data_args(env) + BASE + [
         "--label", "style", "--results_dir", str(tmp_path / "res")])
     _assert_learning(_train_losses(capsys), EPOCHS)
-    assert 0.0 <= acc <= 1.0
+    _assert_above_chance(acc, "style")
     assert os.path.exists(os.path.join(
         env["ck"], "style_resnet_baseline_single-task_checkpoint.pt"))
     assert os.path.exists(tmp_path / "res" / "results.csv")
@@ -78,7 +104,7 @@ def test_train_baseline_with_weights_and_tracking(env, tmp_path, monkeypatch,
     acc = train_baseline.main(_data_args(env) + BASE + [
         "--label", "genre", "--with_weights", "--tracking"])
     _assert_learning(_train_losses(capsys), EPOCHS)
-    assert 0.0 <= acc <= 1.0
+    _assert_above_chance(acc, "genre")
     assert os.path.isdir(tmp_path / "mlruns")
 
 
@@ -87,7 +113,8 @@ def test_train_baseline_multitask_e2e(env, capsys):
 
     style_acc, genre_acc = train_baseline_multitask.main(_data_args(env) + BASE)
     _assert_learning(_train_losses(capsys), EPOCHS)
-    assert 0.0 <= style_acc <= 1.0 and 0.0 <= genre_acc <= 1.0
+    _assert_above_chance(style_acc, "style")
+    _assert_above_chance(genre_acc, "genre")
 
 
 def test_full_four_stage_pipeline(env, capsys):
@@ -144,7 +171,8 @@ def test_full_four_stage_pipeline(env, capsys):
             "--emb_test_style", "e2e_checkpoint_projector.pt",
             "--emb_test_genre", "e2e_checkpoint_projector.pt"])
     _assert_learning(_train_losses(capsys), EPOCHS)
-    assert 0.0 <= style_acc <= 1.0 and 0.0 <= genre_acc <= 1.0
+    _assert_above_chance(style_acc, "style")
+    _assert_above_chance(genre_acc, "genre")
 
 
 def test_context_trainer_e2e(env, capsys):
@@ -158,14 +186,17 @@ def test_context_trainer_e2e(env, capsys):
         "--net", "multi-modal", "--label", "genre",
         "--emb_type", "artwork", "--emb_train", "ctx_embs.pt"])
     _assert_learning(_train_losses(capsys), EPOCHS)
-    assert 0.0 <= acc <= 1.0
+    _assert_above_chance(acc, "genre")
 
 
 def test_data_parallel_training(env, capsys):
-    """DP over the 8-device CPU mesh: same CLI, --data_parallel 8."""
+    """DP over a 4-device mesh of the 8-device CPU platform: same CLI,
+    --data_parallel 4 (batch 4 = 1 image/device; the global batch must
+    divide the mesh, and mesh-8 kernel coverage lives in the dedicated
+    shard_map suites)."""
     from artgraph_tpu.cli import train_baseline
 
     acc = train_baseline.main(_data_args(env) + BASE + [
-        "--label", "style", "--data_parallel", "8"])
+        "--label", "style", "--data_parallel", "4"])
     _assert_learning(_train_losses(capsys), EPOCHS)
-    assert 0.0 <= acc <= 1.0
+    _assert_above_chance(acc, "style")
